@@ -1,0 +1,209 @@
+"""Typed, frozen, hashable configuration for the whole framework.
+
+The reference drives every entry script through flat ``tf.app.flags``
+(SURVEY.md §5 "Config / flag system"); here configuration is a tree of frozen
+dataclasses so that configs are hashable and safe to pass as ``jit`` static
+arguments, and presets mirror the five judged BASELINE configurations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+# Pascal VOC classes; index 0 is background, matching the reference's 21-way
+# classifier (SURVEY.md §2.1 D1: fixed 20-class VOC label map, background=0).
+VOC_CLASSES: Tuple[str, ...] = (
+    "background",
+    "aeroplane", "bicycle", "bird", "boat", "bottle",
+    "bus", "car", "cat", "chair", "cow",
+    "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+NUM_VOC_CLASSES = len(VOC_CLASSES)  # 21 including background
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor-grid spec.
+
+    RPN default mirrors the Light-Head R-CNN paper spec (SURVEY.md §2.3 A1):
+    one stride-16 grid with 5 scales x 3 aspect ratios = 15 anchors/cell.
+    """
+    stride: int = 16
+    scales: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.scales) * len(self.ratios)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSDAnchorConfig:
+    """Multi-layer SSD anchor spec (SURVEY.md §2.3 A1, SSD lineage).
+
+    ``scale_min``..``scale_max`` are interpolated linearly over the feature
+    layers; each layer also gets the geometric-mean "extra" scale anchor with
+    ratio 1 (SSD paper §2.2).
+    """
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    scale_min: float = 0.10
+    scale_max: float = 0.90
+    ratios: Tuple[float, ...] = (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.strides)
+
+    @property
+    def anchors_per_cell(self) -> int:
+        return len(self.ratios) + 1  # + extra sqrt-scale anchor at ratio 1
+
+
+# Prior-box encode/decode variances, SSD lineage (SURVEY.md §2.3 A2).
+PRIOR_SCALING: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class NMSConfig:
+    iou_threshold: float = 0.45
+    score_threshold: float = 0.01
+    max_output: int = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalConfig:
+    """RPN proposal-stage spec (SURVEY.md §2.4 N5).
+
+    All sizes are static: top-``pre_nms_topk`` by score, NMS at
+    ``nms_threshold``, padded to exactly ``post_nms_topk`` outputs.
+    """
+    pre_nms_topk: int = 6000
+    post_nms_topk: int = 1000
+    nms_threshold: float = 0.7
+    min_size: float = 4.0  # pixels; degenerate-proposal filter
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Detector architecture spec."""
+    name: str = "lighthead_resnet50"
+    backbone: str = "resnet50"            # "resnet50" | "xception_lite"
+    family: str = "lighthead"             # "lighthead" | "ssd"
+    num_classes: int = NUM_VOC_CLASSES
+    image_size: int = 800                 # square static input
+    # Light-Head pieces (SURVEY.md §2.4 N3/N6):
+    thin_channels: int = 490              # 10 * 7 * 7
+    large_sep_kernel: int = 15
+    large_sep_mid: int = 256              # 64 small / 256 large variant
+    roi_grid: int = 7
+    head_dim: int = 2048
+    class_agnostic_box: bool = True
+    anchors: AnchorConfig = AnchorConfig()
+    ssd_anchors: SSDAnchorConfig = SSDAnchorConfig()
+    proposals: ProposalConfig = ProposalConfig()
+    nms: NMSConfig = NMSConfig()
+    # numerics
+    compute_dtype: str = "bfloat16"       # activations/weights in matmul/conv
+    param_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data + augmentation spec (SURVEY.md §2.2 P1–P4)."""
+    image_size: int = 800
+    max_gt_boxes: int = 100               # static pad for per-image gt
+    # distorted-bbox crop (P1)
+    min_object_covered: float = 0.25
+    aspect_ratio_range: Tuple[float, float] = (0.5, 2.0)
+    area_range: Tuple[float, float] = (0.1, 1.0)
+    crop_attempts: int = 50
+    # color jitter (P2)
+    brightness_max_delta: float = 32.0 / 255.0
+    contrast_range: Tuple[float, float] = (0.5, 1.5)
+    saturation_range: Tuple[float, float] = (0.5, 1.5)
+    hue_max_delta: float = 0.2
+    # normalization (P3) — VGG means, RGB order
+    pixel_means: Tuple[float, float, float] = (123.68, 116.779, 103.939)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization spec (SURVEY.md §2.6 T1/T2)."""
+    batch_size: int = 8
+    learning_rate: float = 1e-3
+    lr_boundaries: Tuple[int, ...] = (80000, 100000)
+    lr_decays: Tuple[float, ...] = (1.0, 0.1, 0.01)
+    warmup_steps: int = 500
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    total_steps: int = 120000
+    # RPN minibatch sampling (Faster R-CNN spec): 256 anchors, up to half pos
+    rpn_batch_size: int = 256
+    rpn_fg_fraction: float = 0.5
+    rpn_pos_iou: float = 0.7
+    rpn_neg_iou: float = 0.3
+    # ROI head: OHEM top-B hardest kept for backprop
+    ohem_topk: int = 256
+    roi_fg_iou: float = 0.5
+    roi_bg_iou_hi: float = 0.5
+    roi_bg_iou_lo: float = 0.0
+    # single-shot: hard-negative mining ratio neg:pos
+    neg_pos_ratio: float = 3.0
+    ssd_match_iou: float = 0.5
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 5
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the five judged configurations in BASELINE.json.
+# ---------------------------------------------------------------------------
+
+def lighthead_resnet50(image_size: int = 800) -> ExperimentConfig:
+    """BASELINE configs 1/4/5: Light-Head R-CNN, ResNet-50 backbone."""
+    return ExperimentConfig(
+        model=ModelConfig(name="lighthead_resnet50", backbone="resnet50",
+                          family="lighthead", image_size=image_size),
+        data=DataConfig(image_size=image_size),
+        train=TrainConfig(batch_size=8),
+    )
+
+
+def lighthead_xception(image_size: int = 800) -> ExperimentConfig:
+    """BASELINE config 3: Light-Head R-CNN, Xception-lite backbone."""
+    return ExperimentConfig(
+        model=ModelConfig(name="lighthead_xception", backbone="xception_lite",
+                          family="lighthead", image_size=image_size,
+                          large_sep_mid=64),
+        data=DataConfig(image_size=image_size),
+        train=TrainConfig(batch_size=16),
+    )
+
+
+def ssd_resnet50(image_size: int = 512) -> ExperimentConfig:
+    """BASELINE config 2: SSD/X-Det single-shot head, batched NMS."""
+    return ExperimentConfig(
+        model=ModelConfig(name="ssd_resnet50", backbone="resnet50",
+                          family="ssd", image_size=image_size,
+                          nms=NMSConfig(iou_threshold=0.45,
+                                        score_threshold=0.01, max_output=200)),
+        data=DataConfig(image_size=image_size),
+        train=TrainConfig(batch_size=8),
+    )
+
+
+PRESETS = {
+    "lighthead_resnet50": lighthead_resnet50,
+    "lighthead_xception": lighthead_xception,
+    "ssd_resnet50": ssd_resnet50,
+}

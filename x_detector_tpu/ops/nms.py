@@ -1,0 +1,166 @@
+"""Shape-static, batched non-max suppression for TPU.
+
+Replaces ``tf.image.non_max_suppression`` at the reference's two call sites
+(SURVEY.md §2.4 N5 proposal layer; §3.2 per-class eval NMS) with an **exact**
+greedy NMS whose shapes are all static, so it compiles once under ``jit`` and
+vectorizes with ``vmap`` over classes and batch.
+
+Algorithm (tile-parallel greedy NMS):
+  1. Sort boxes by descending score; zero out boxes below the score floor
+     (a zero-area box has IoU 0 with everything, so it can neither suppress
+     nor survive).
+  2. Walk tiles of ``TILE`` boxes in score order.  A tile is first suppressed
+     against all *surviving* earlier boxes with one [TILE, N] IoU matrix
+     (suppressed earlier boxes were zeroed, so they drop out automatically),
+     then self-suppressed with a Gauss–Jacobi fixpoint iteration of
+     ``S[t] = any_{j<t}(~S[j] & IoU[j,t] > thr)`` — the recurrence has a
+     unique solution (induction over indices), so the fixpoint equals exact
+     sequential greedy NMS; convergence takes at most TILE iterations and in
+     practice a handful.
+  3. Survivors keep their scores; everything else gets score -1; a final
+     ``top_k`` compacts the first ``max_output`` survivors.
+
+Cost: O(N^2 / TILE) matrix-IoU steps with only N/TILE sequential points —
+VPU-friendly, versus N fully-sequential steps for a naive scan port.
+
+Scores must be non-negative (probabilities); -1 is used as the invalid
+sentinel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from x_detector_tpu.ops import boxes as box_ops
+
+TILE = 128
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray    # [K, 4]
+    scores: jnp.ndarray   # [K] (-1 for invalid slots)
+    valid: jnp.ndarray    # [K] bool
+
+
+class MulticlassNMSResult(NamedTuple):
+    boxes: jnp.ndarray    # [K, 4]
+    scores: jnp.ndarray   # [K]
+    classes: jnp.ndarray  # [K] int32 (1-based class ids; 0 on invalid)
+    valid: jnp.ndarray    # [K] bool
+
+
+def _self_suppress(iou_mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact within-tile greedy suppression via fixpoint iteration.
+
+    iou_mask: [T, T] bool, True where row j suppresses col t (j < t enforced
+    by caller). Returns [T] bool suppressed flags.
+    """
+    T = iou_mask.shape[0]
+
+    def body(state):
+        s, _, it = state
+        new_s = jnp.any(iou_mask & ~s[:, None], axis=0)
+        return new_s, jnp.any(new_s != s), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < T)
+
+    s0 = jnp.zeros((T,), bool)
+    s1 = jnp.any(iou_mask, axis=0)  # first Jacobi step
+    s, _, _ = jax.lax.while_loop(cond, body, (s1, jnp.any(s1), jnp.array(1)))
+    return s
+
+
+def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, max_output: int,
+               iou_threshold: float = 0.5,
+               score_threshold: float = 0.0) -> NMSResult:
+    """Exact greedy NMS over [N, 4]/[N] -> fixed-size top-``max_output``."""
+    n = boxes.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    keep_mask = scores > score_threshold
+    boxes = jnp.where(keep_mask[:, None], boxes, 0.0).astype(jnp.float32)
+    scores = jnp.where(keep_mask, scores, -1.0).astype(jnp.float32)
+    boxes = jnp.pad(boxes, ((0, n_pad - n), (0, 0)))
+    scores = jnp.pad(scores, ((0, n_pad - n),), constant_values=-1.0)
+
+    order = jnp.argsort(-scores)
+    boxes = boxes[order]
+    scores = scores[order]
+
+    tri = jnp.tril(jnp.ones((TILE, TILE), bool), k=-1).T  # j<t upper-strict
+
+    def tile_step(i, sorted_boxes):
+        start = i * TILE
+        tile = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (TILE, 4))
+        # Suppression by surviving earlier boxes (earlier tiles already final).
+        iou_all = box_ops.iou(tile, sorted_boxes)          # [T, Np]
+        col = jnp.arange(n_pad)
+        prev = jnp.any((iou_all > iou_threshold) & (col[None, :] < start),
+                       axis=1)
+        tile = jnp.where(prev[:, None], 0.0, tile)
+        # Within-tile self-suppression (exact, via fixpoint).
+        iou_self = box_ops.iou(tile, tile)
+        sup = _self_suppress((iou_self > iou_threshold) & tri)
+        tile = jnp.where(sup[:, None], 0.0, tile)
+        return jax.lax.dynamic_update_slice(sorted_boxes, tile, (start, 0))
+
+    boxes = jax.lax.fori_loop(0, n_pad // TILE, tile_step, boxes)
+
+    alive = (box_ops.area(boxes) > 0) & (scores > score_threshold)
+    scores = jnp.where(alive, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(scores, max_output)
+    return NMSResult(boxes=boxes[top_idx], scores=top_scores,
+                     valid=top_scores > score_threshold)
+
+
+def multiclass_nms(
+    boxes: jnp.ndarray,            # [N, 4] shared boxes (class-agnostic) or
+                                   # [N, C, 4] per-class boxes
+    class_scores: jnp.ndarray,     # [N, C] probabilities, C real classes
+    max_output: int,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    per_class_topk: int = 100,
+) -> MulticlassNMSResult:
+    """Per-class NMS then global top-k merge (reference eval semantics,
+    SURVEY.md §3.2: per class score filter -> NMS -> top-k)."""
+    num_classes = class_scores.shape[1]
+    if boxes.ndim == 2:
+        per_class_boxes = jnp.broadcast_to(
+            boxes[:, None, :], (boxes.shape[0], num_classes, 4))
+    else:
+        per_class_boxes = boxes
+
+    def one_class(cls_boxes, cls_scores):
+        return nms_padded(cls_boxes, cls_scores, per_class_topk,
+                          iou_threshold, score_threshold)
+
+    res = jax.vmap(one_class, in_axes=(1, 1))(per_class_boxes, class_scores)
+    # res fields: [C, per_class_topk, ...]
+    flat_boxes = res.boxes.reshape(-1, 4)
+    flat_scores = res.scores.reshape(-1)
+    cls_ids = jnp.broadcast_to(
+        jnp.arange(1, num_classes + 1, dtype=jnp.int32)[:, None],
+        (num_classes, per_class_topk)).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, max_output)
+    valid = top_scores > score_threshold
+    return MulticlassNMSResult(
+        boxes=flat_boxes[top_idx],
+        scores=jnp.where(valid, top_scores, -1.0),
+        classes=jnp.where(valid, cls_ids[top_idx], 0),
+        valid=valid,
+    )
+
+
+def batched_multiclass_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
+                           max_output: int, iou_threshold: float = 0.45,
+                           score_threshold: float = 0.01,
+                           per_class_topk: int = 100) -> MulticlassNMSResult:
+    """vmap of :func:`multiclass_nms` over a leading batch dim."""
+    fn = lambda b, s: multiclass_nms(b, s, max_output, iou_threshold,
+                                     score_threshold, per_class_topk)
+    return jax.vmap(fn)(boxes, class_scores)
