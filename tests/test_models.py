@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x_detector_tpu.config import ModelConfig, ssd_resnet50
+from x_detector_tpu.models.resnet import resnet50
+from x_detector_tpu.models.xception import xception_lite
+from x_detector_tpu.models.ssd import SSDModel, build_ssd_anchors
+from x_detector_tpu.models.detector import postprocess_detections
+
+
+def test_resnet50_feature_strides():
+    model = resnet50(dilate_c5=True, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(vars_, x, train=False)
+    assert feats["c3"].shape == (1, 8, 8, 512)
+    assert feats["c4"].shape == (1, 4, 4, 1024)
+    assert feats["c5"].shape == (1, 4, 4, 2048)  # dilated: stride 16
+
+
+def test_resnet50_stride32_c5():
+    model = resnet50(dilate_c5=False, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(vars_, x, train=False)
+    assert feats["c5"].shape == (1, 2, 2, 2048)
+
+
+def test_xception_lite_shapes():
+    model = xception_lite(dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(vars_, x, train=False)
+    assert feats["c3"].shape == (2, 8, 8, 288)
+    assert feats["c4"].shape == (2, 4, 4, 576)
+    assert feats["c5"].shape == (2, 4, 4, 1024)
+
+
+def test_ssd_forward_and_postprocess():
+    cfg = ssd_resnet50(image_size=64).model
+    model = SSDModel(config=cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    cls_logits, box_codes = model.apply(vars_, x, train=False)
+    anchors = build_ssd_anchors(cfg)
+    n = anchors.shape[0]
+    assert cls_logits.shape == (2, n, cfg.num_classes)
+    assert box_codes.shape == (2, n, 4)
+    assert np.isfinite(np.asarray(cls_logits)).all()
+
+    out = postprocess_detections(box_codes, cls_logits,
+                                 jnp.asarray(anchors), max_output=50)
+    assert out.boxes.shape == (2, 50, 4)
+    assert out.classes.shape == (2, 50)
+    b = np.asarray(out.boxes)
+    assert (b >= 0).all() and (b <= 1).all()  # clipped to image
+
+
+def test_ssd_batchnorm_mutable_train_mode():
+    cfg = ssd_resnet50(image_size=64).model
+    model = SSDModel(config=cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    (cls_logits, _), new_state = model.apply(
+        vars_, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in new_state
+    assert np.isfinite(np.asarray(cls_logits)).all()

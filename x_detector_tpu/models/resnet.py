@@ -1,0 +1,88 @@
+"""ResNet-50 v1 backbone in Flax (NHWC, bf16 compute, fp32 params).
+
+Rebuilds SURVEY.md §2.4 N1 (slim-style ``resnet_v1_50``): 7x7/2 stem →
+3x3/2 maxpool → bottleneck stages [3, 4, 6, 3] with widths 256/512/1024/2048.
+For two-stage detection the final stage can run at **stride 16 with dilation
+2** (the R-FCN/Light-Head idiom that keeps the thin feature map at stride 16)
+instead of stride 32; SSD uses the stride-32 variant.
+
+Returns a dict of pyramid features:
+  c3: stride 8    c4: stride 16    c5: stride 16 (dilated) or 32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from x_detector_tpu.models.layers import ConvBN, max_pool
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    """v1 bottleneck: 1x1 → 3x3 (stride/dilation here) → 1x1, + projection."""
+    features: int            # inner width; output is 4x
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out_features = self.features * 4
+        shortcut = x
+        if x.shape[-1] != out_features or self.strides != (1, 1):
+            shortcut = ConvBN(out_features, (1, 1), strides=self.strides,
+                              relu=False, dtype=self.dtype,
+                              name="proj")(x, train)
+        y = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+        y = ConvBN(self.features, (3, 3), strides=self.strides,
+                   dilation=self.dilation, dtype=self.dtype)(y, train)
+        y = ConvBN(out_features, (1, 1), relu=False, dtype=self.dtype)(y, train)
+        return nn.relu(y + shortcut)
+
+
+class ResNetV1(nn.Module):
+    """ResNet v1 feature extractor."""
+    stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    dilate_c5: bool = True     # stride-16 dilated last stage (two-stage dets)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        x = ConvBN(64, (7, 7), strides=(2, 2), dtype=self.dtype,
+                   name="stem")(x, train)
+        x = max_pool(x, 3, 2)                                  # stride 4
+        feats: Dict[str, jnp.ndarray] = {}
+        widths = (64, 128, 256, 512)
+        for stage, (n_blocks, width) in enumerate(
+                zip(self.stage_sizes, widths)):
+            last = stage == len(self.stage_sizes) - 1
+            if stage == 0:
+                stride, dilation = (1, 1), (1, 1)
+            elif last and self.dilate_c5:
+                stride, dilation = (1, 1), (2, 2)
+            else:
+                stride, dilation = (2, 2), (1, 1)
+            for block in range(n_blocks):
+                x = Bottleneck(
+                    width,
+                    strides=stride if block == 0 else (1, 1),
+                    dilation=dilation,
+                    dtype=self.dtype,
+                    name=f"stage{stage + 1}_block{block}")(x, train)
+            if stage == 1:
+                feats["c3"] = x        # stride 8, 512ch
+            elif stage == 2:
+                feats["c4"] = x        # stride 16, 1024ch
+            elif stage == 3:
+                feats["c5"] = x        # stride 16 (dilated) or 32, 2048ch
+        return feats
+
+
+def resnet50(dilate_c5: bool = True, dtype: Dtype = jnp.bfloat16) -> ResNetV1:
+    return ResNetV1(stage_sizes=(3, 4, 6, 3), dilate_c5=dilate_c5, dtype=dtype)

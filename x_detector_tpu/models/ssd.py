@@ -1,0 +1,99 @@
+"""SSD-style single-shot detector (the X-Det/SSD family head).
+
+Rebuilds SURVEY.md §2.4 N7/N8: multi-scale per-anchor cls+loc convolutions
+over a feature pyramid, followed by decode + batched per-class NMS
+(BASELINE config 2).  The reference's experimental X-Det bodies are covered
+by this one SSD-family head per the survey's scoping note ("the rebuild needs
+one SSD-family single-shot head with batched NMS, not a faithful X-Det
+clone").
+
+Feature sources for strides (8, 16, 32): backbone c3/c4/c5 (stride-32 c5);
+strides 64/128 come from extra stride-2 ConvBN blocks, SSD-paper style.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from x_detector_tpu.config import ModelConfig
+from x_detector_tpu.models.layers import ConvBN
+from x_detector_tpu.models.resnet import ResNetV1
+from x_detector_tpu.models.xception import XceptionLite
+from x_detector_tpu.ops import anchors as anchor_lib
+
+Dtype = Any
+
+
+class SSDHead(nn.Module):
+    """Per-layer sibling 3x3 convs emitting class logits + box codes."""
+    num_classes: int
+    anchors_per_cell: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray],
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cls_out, loc_out = [], []
+        for i, f in enumerate(feats):
+            inter = ConvBN(256, (3, 3), dtype=self.dtype,
+                           name=f"inter{i}")(f, train)
+            cls = nn.Conv(self.anchors_per_cell * self.num_classes, (3, 3),
+                          padding="SAME", dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cls{i}")(inter)
+            loc = nn.Conv(self.anchors_per_cell * 4, (3, 3), padding="SAME",
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"loc{i}")(inter)
+            b = f.shape[0]
+            cls_out.append(cls.reshape(b, -1, self.num_classes))
+            loc_out.append(loc.reshape(b, -1, 4))
+        return (jnp.concatenate(cls_out, axis=1),
+                jnp.concatenate(loc_out, axis=1))
+
+
+class SSDModel(nn.Module):
+    """Backbone + extra layers + SSD head.
+
+    ``__call__`` returns raw per-anchor (class_logits [B, N, C+1],
+    box_codes [B, N, 4]) in anchor order matching
+    :func:`x_detector_tpu.ops.anchors.ssd_anchors`.
+    """
+    config: ModelConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        if cfg.backbone == "resnet50":
+            feats = ResNetV1(dilate_c5=False, dtype=self.dtype,
+                             name="backbone")(images, train)
+        elif cfg.backbone == "xception_lite":
+            feats = XceptionLite(dtype=self.dtype, name="backbone")(
+                images, train)
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
+        pyramid = [feats["c3"], feats["c4"], feats["c5"]]
+        x = feats["c5"]
+        for i, stride in enumerate(cfg.ssd_anchors.strides[3:]):
+            x = ConvBN(256, (1, 1), dtype=self.dtype,
+                       name=f"extra{i}a")(x, train)
+            x = ConvBN(512, (3, 3), strides=(2, 2), dtype=self.dtype,
+                       name=f"extra{i}b")(x, train)
+            pyramid.append(x)
+        cls_logits, box_codes = SSDHead(
+            num_classes=cfg.num_classes,
+            anchors_per_cell=cfg.ssd_anchors.anchors_per_cell,
+            dtype=self.dtype, name="head")(pyramid, train)
+        expected = sum(anchor_lib.ssd_layer_anchor_counts(
+            cfg.image_size, cfg.ssd_anchors))
+        assert cls_logits.shape[1] == expected, (
+            f"head anchors {cls_logits.shape[1]} != grid {expected}")
+        return cls_logits.astype(jnp.float32), box_codes.astype(jnp.float32)
+
+
+def build_ssd_anchors(config: ModelConfig) -> np.ndarray:
+    return anchor_lib.ssd_anchors(config.image_size, config.ssd_anchors)

@@ -1,0 +1,81 @@
+"""Xception-lite backbone (Light-Head R-CNN's small "Xception*" body).
+
+Rebuilds SURVEY.md §2.4 N2 (``net/xception_body.py``): an author-written
+fast-downsampling separable-conv backbone with channel widths
+24 → 144 → 288 → 576, ending at stride 16.  Exact reference widths/block
+counts are tagged [M] in the survey; this implementation keeps the documented
+shape (stem 24 @ stride 2, three separable stages doubling width with stride-2
+entries, residual connections within stages) and adds a dilated stride-16
+tail stage so C5 stays at stride 16 for the thin feature map, mirroring the
+ResNet variant.
+
+Returns {"c3": stride 8 (288ch), "c4": stride 16 (576ch),
+         "c5": stride 16 dilated (1024ch)}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from x_detector_tpu.models.layers import ConvBN, SeparableConvBN
+
+Dtype = Any
+
+
+class XceptionStage(nn.Module):
+    """Stride-2 (or dilated) stage of residual separable-conv units."""
+    features: int
+    num_units: int = 2
+    entry_stride: Tuple[int, int] = (2, 2)
+    dilation: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for unit in range(self.num_units):
+            stride = self.entry_stride if unit == 0 else (1, 1)
+            shortcut = x
+            if stride != (1, 1) or x.shape[-1] != self.features:
+                shortcut = ConvBN(self.features, (1, 1), strides=stride,
+                                  relu=False, dtype=self.dtype,
+                                  name=f"proj{unit}")(x, train)
+            y = SeparableConvBN(self.features, strides=stride,
+                                dilation=self.dilation, dtype=self.dtype,
+                                name=f"sep{unit}a")(x, train)
+            y = SeparableConvBN(self.features, dilation=self.dilation,
+                                relu=False, dtype=self.dtype,
+                                name=f"sep{unit}b")(y, train)
+            x = nn.relu(y + shortcut)
+        return x
+
+
+class XceptionLite(nn.Module):
+    """Fast small backbone for Light-Head R-CNN (BASELINE config 3)."""
+    widths: Tuple[int, int, int, int] = (144, 288, 576, 1024)
+    stem_width: int = 24
+    units_per_stage: Tuple[int, int, int, int] = (2, 2, 2, 2)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        x = ConvBN(self.stem_width, (3, 3), strides=(2, 2), dtype=self.dtype,
+                   name="stem")(x, train)                       # stride 2
+        x = XceptionStage(self.widths[0], self.units_per_stage[0],
+                          dtype=self.dtype, name="stage1")(x, train)  # s4
+        c3 = XceptionStage(self.widths[1], self.units_per_stage[1],
+                           dtype=self.dtype, name="stage2")(x, train)  # s8
+        c4 = XceptionStage(self.widths[2], self.units_per_stage[2],
+                           dtype=self.dtype, name="stage3")(c3, train)  # s16
+        c5 = XceptionStage(self.widths[3], self.units_per_stage[3],
+                           entry_stride=(1, 1), dilation=(2, 2),
+                           dtype=self.dtype, name="stage4")(c4, train)  # s16
+        return {"c3": c3, "c4": c4, "c5": c5}
+
+
+def xception_lite(dtype: Dtype = jnp.bfloat16) -> XceptionLite:
+    return XceptionLite(dtype=dtype)

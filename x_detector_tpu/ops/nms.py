@@ -112,8 +112,14 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, max_output: int,
 
     alive = (box_ops.area(boxes) > 0) & (scores > score_threshold)
     scores = jnp.where(alive, scores, -1.0)
-    top_scores, top_idx = jax.lax.top_k(scores, max_output)
-    return NMSResult(boxes=boxes[top_idx], scores=top_scores,
+    k = min(max_output, n_pad)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    out_boxes = boxes[top_idx]
+    if k < max_output:  # more slots requested than candidates: pad invalid
+        out_boxes = jnp.pad(out_boxes, ((0, max_output - k), (0, 0)))
+        top_scores = jnp.pad(top_scores, ((0, max_output - k),),
+                             constant_values=-1.0)
+    return NMSResult(boxes=out_boxes, scores=top_scores,
                      valid=top_scores > score_threshold)
 
 
@@ -146,7 +152,12 @@ def multiclass_nms(
     cls_ids = jnp.broadcast_to(
         jnp.arange(1, num_classes + 1, dtype=jnp.int32)[:, None],
         (num_classes, per_class_topk)).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, max_output)
+    k = min(max_output, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    if k < max_output:
+        top_scores = jnp.pad(top_scores, ((0, max_output - k),),
+                             constant_values=-1.0)
+        top_idx = jnp.pad(top_idx, ((0, max_output - k),))
     valid = top_scores > score_threshold
     return MulticlassNMSResult(
         boxes=flat_boxes[top_idx],
