@@ -1,0 +1,119 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x_detector_tpu.config import (ExperimentConfig, ModelConfig, DataConfig,
+                                   TrainConfig, NMSConfig, ProposalConfig,
+                                   ssd_resnet50)
+from x_detector_tpu.data.synthetic import synthetic_batches
+from x_detector_tpu.train.trainer import (create_model_and_state,
+                                          make_train_step)
+from x_detector_tpu.train.checkpoint import CheckpointManager
+
+
+def small_ssd_cfg():
+    base = ssd_resnet50(image_size=64)
+    return dataclasses.replace(
+        base,
+        data=DataConfig(image_size=64, max_gt_boxes=8),
+        train=dataclasses.replace(base.train, batch_size=2,
+                                  learning_rate=5e-3, warmup_steps=0,
+                                  weight_decay=0.0),
+    )
+
+
+def small_lighthead_cfg():
+    model = ModelConfig(
+        name="tiny_lh", backbone="xception_lite", family="lighthead",
+        image_size=64, large_sep_mid=16, head_dim=64,
+        proposals=ProposalConfig(pre_nms_topk=128, post_nms_topk=32,
+                                 min_size=2.0),
+        nms=NMSConfig(max_output=20))
+    return ExperimentConfig(
+        model=model,
+        data=DataConfig(image_size=64, max_gt_boxes=8),
+        train=TrainConfig(batch_size=2, learning_rate=1e-3, warmup_steps=0,
+                          weight_decay=0.0, ohem_topk=16),
+    )
+
+
+def get_batch(cfg, seed=0):
+    it = synthetic_batches(seed, cfg.train.batch_size, cfg.model.image_size,
+                           cfg.data.max_gt_boxes)
+    b = next(it)
+    b["image"] = (b["image"] - 115.0) / 60.0  # crude whitening for the test
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_ssd_overfits_fixed_batch():
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    step_fn = jax.jit(make_train_step(model, cfg))
+    batch = get_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(25):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
+    assert int(state.step) == 25
+
+
+def test_lighthead_train_step_runs_and_learns():
+    cfg = small_lighthead_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    step_fn = jax.jit(make_train_step(model, cfg))
+    batch = get_batch(cfg)
+    losses = []
+    for i in range(10):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+    for k in ("rpn_cls_loss", "rpn_loc_loss", "roi_cls_loss", "roi_loc_loss"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_train_step_deterministic():
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    step_fn = jax.jit(make_train_step(model, cfg))
+    batch = get_batch(cfg)
+    rng = jax.random.PRNGKey(7)
+    s1, m1 = step_fn(state, batch, rng)
+    s2, m2 = step_fn(state, batch, rng)
+    # bitwise-identical update (XLA determinism is a feature; SURVEY.md §5)
+    assert float(m1["total_loss"]) == float(m2["total_loss"])
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    assert all(bool((a == b).all()) for a, b in zip(l1, l2))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    step_fn = jax.jit(make_train_step(model, cfg))
+    batch = get_batch(cfg)
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(int(state.step), state, data_state={"position": 42})
+    mgr.wait()
+    assert mgr.latest_step() == 1
+
+    _, fresh = create_model_and_state(cfg, jax.random.PRNGKey(3),
+                                      dtype=jnp.float32)
+    restored, data_state = mgr.restore(fresh)
+    mgr.close()
+    assert data_state["position"] == 42
+    assert int(restored.step) == 1
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    assert all(bool(np.allclose(x, y)) for x, y in zip(a, b))

@@ -1,0 +1,151 @@
+"""Detection losses: CE, modified smooth-L1, RPN sampling, OHEM, SSD mining.
+
+Rebuilds SURVEY.md §2.6 T1/T2 loss machinery with static shapes throughout
+(§7 hard part 4: "OHEM + RPN sampling under jit — random subset selection as
+masked top-k without data-dependent shapes"):
+
+* RPN: 256-anchor minibatch, <=50% positive, sampled with random priorities
+  via masked ``top_k``; softmax CE + smooth-L1 (sigma=3, Faster-R-CNN spec).
+* ROI head (Light-Head): CE + smooth-L1 on foreground, with **OHEM** — only
+  the top-B highest-loss valid rois contribute gradient.
+* SSD: per-anchor CE with **hard-negative mining** at a 3:1 neg:pos ratio
+  (selected by classification loss rank), smooth-L1 (sigma=1) on positives.
+
+Every "select a subset" below is a boolean weight mask over a fixed-size
+axis; counts are traced scalars compared against ranks — no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              sigma: float = 1.0) -> jnp.ndarray:
+    """Modified smooth-L1 (Fast R-CNN form), elementwise then summed on -1.
+
+      0.5 * (sigma*x)^2        if |x| < 1/sigma^2
+      |x| - 0.5/sigma^2        otherwise
+    """
+    diff = pred - target
+    abs_diff = jnp.abs(diff)
+    cutoff = 1.0 / (sigma * sigma)
+    loss = jnp.where(abs_diff < cutoff,
+                     0.5 * jnp.square(sigma * diff),
+                     abs_diff - 0.5 * cutoff)
+    return loss.sum(axis=-1)
+
+
+def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-example softmax cross-entropy with integer labels."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None], axis=-1).squeeze(-1)
+
+
+def _rank_of(values: jnp.ndarray) -> jnp.ndarray:
+    """rank_of[i] = position of element i in a descending sort of values."""
+    order = jnp.argsort(-values)
+    return jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+
+
+def sample_rpn_minibatch(key: jax.Array, fg_mask: jnp.ndarray,
+                         bg_mask: jnp.ndarray, batch_size: int = 256,
+                         fg_fraction: float = 0.5) -> jnp.ndarray:
+    """Random 256-anchor minibatch weights: [A] float {0,1}.
+
+    Up to ``batch_size * fg_fraction`` random positives; the remainder filled
+    with random negatives (Faster-R-CNN sampling, SURVEY.md §2.6 T1).
+    """
+    kf, kb = jax.random.split(key)
+    max_fg = int(batch_size * fg_fraction)
+
+    fg_priority = jnp.where(fg_mask, jax.random.uniform(kf, fg_mask.shape), -1.0)
+    fg_rank = _rank_of(fg_priority)
+    fg_sel = fg_mask & (fg_rank < max_fg)
+    num_fg = fg_sel.sum()
+
+    bg_priority = jnp.where(bg_mask, jax.random.uniform(kb, bg_mask.shape), -1.0)
+    bg_rank = _rank_of(bg_priority)
+    bg_sel = bg_mask & (bg_rank < (batch_size - num_fg))
+    return (fg_sel | bg_sel).astype(jnp.float32)
+
+
+def rpn_loss(key: jax.Array, rpn_cls: jnp.ndarray, rpn_loc: jnp.ndarray,
+             fg_mask: jnp.ndarray, bg_mask: jnp.ndarray,
+             reg_targets: jnp.ndarray, batch_size: int = 256,
+             fg_fraction: float = 0.5,
+             sigma: float = 3.0) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Single-image RPN loss. rpn_cls [A, 2], rpn_loc [A, 4]."""
+    weights = sample_rpn_minibatch(key, fg_mask, bg_mask, batch_size,
+                                   fg_fraction)
+    labels = fg_mask.astype(jnp.int32)
+    cls_losses = softmax_ce(rpn_cls, labels)
+    cls_loss = (cls_losses * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+
+    loc_losses = smooth_l1(rpn_loc, reg_targets, sigma=sigma)
+    fg_w = weights * fg_mask.astype(jnp.float32)
+    loc_loss = (loc_losses * fg_w).sum() / jnp.maximum(fg_w.sum(), 1.0)
+    total = cls_loss + loc_loss
+    return total, {"rpn_cls_loss": cls_loss, "rpn_loc_loss": loc_loss,
+                   "rpn_num_fg": fg_w.sum()}
+
+
+def roi_loss_ohem(roi_cls: jnp.ndarray, roi_box: jnp.ndarray,
+                  labels: jnp.ndarray, reg_targets: jnp.ndarray,
+                  fg_mask: jnp.ndarray, valid_mask: jnp.ndarray,
+                  ohem_topk: int = 256,
+                  sigma: float = 1.0) -> Tuple[jnp.ndarray,
+                                               Dict[str, jnp.ndarray]]:
+    """Single-image ROI-head loss with OHEM (SURVEY.md §2.6 T1).
+
+    roi_cls [R, C], roi_box [R, 4] (class-agnostic), labels [R] int,
+    fg_mask/valid_mask [R] bool.  Per-roi loss = CE + fg * smooth-L1; only
+    the top-``ohem_topk`` highest-loss valid rois keep gradient.
+    """
+    cls_losses = softmax_ce(roi_cls, labels)
+    loc_losses = smooth_l1(roi_box, reg_targets, sigma=sigma)
+    per_roi = cls_losses + jnp.where(fg_mask, loc_losses, 0.0)
+    per_roi = jnp.where(valid_mask, per_roi, 0.0)
+
+    k = min(ohem_topk, per_roi.shape[0])
+    # OHEM: rank by loss, keep top-k hardest among valid (hard selection is
+    # non-differentiable by design — gradient flows through selected losses).
+    rank = _rank_of(jax.lax.stop_gradient(
+        jnp.where(valid_mask, per_roi, -jnp.inf)))
+    keep = valid_mask & (rank < k)
+    denom = jnp.maximum(keep.sum().astype(jnp.float32), 1.0)
+    total = (per_roi * keep).sum() / denom
+    cls_part = (cls_losses * keep).sum() / denom
+    loc_part = ((jnp.where(fg_mask, loc_losses, 0.0)) * keep).sum() / denom
+    return total, {"roi_cls_loss": cls_part, "roi_loc_loss": loc_part,
+                   "roi_num_fg": (fg_mask & keep).sum().astype(jnp.float32)}
+
+
+def ssd_loss(cls_logits: jnp.ndarray, box_codes: jnp.ndarray,
+             labels: jnp.ndarray, reg_targets: jnp.ndarray,
+             fg_mask: jnp.ndarray, neg_pos_ratio: float = 3.0,
+             sigma: float = 1.0) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Single-image SSD multibox loss with hard-negative mining (T2).
+
+    cls_logits [A, C], box_codes [A, 4]; background anchors are everything
+    not fg (SSD has no ignore zone after matching with force-match).
+    """
+    cls_losses = softmax_ce(cls_logits, labels)
+    num_fg = fg_mask.sum()
+    neg_losses = jnp.where(fg_mask, -jnp.inf, jax.lax.stop_gradient(cls_losses))
+    rank = _rank_of(neg_losses)
+    num_neg = jnp.minimum((neg_pos_ratio * num_fg).astype(jnp.int32),
+                          (~fg_mask).sum())
+    hard_neg = (~fg_mask) & (rank < num_neg)
+
+    weights = (fg_mask | hard_neg).astype(jnp.float32)
+    denom = jnp.maximum(num_fg.astype(jnp.float32), 1.0)
+    cls_loss = (cls_losses * weights).sum() / denom
+    loc_losses = smooth_l1(box_codes, reg_targets, sigma=sigma)
+    loc_loss = (loc_losses * fg_mask).sum() / denom
+    total = cls_loss + loc_loss
+    return total, {"ssd_cls_loss": cls_loss, "ssd_loc_loss": loc_loss,
+                   "ssd_num_fg": num_fg.astype(jnp.float32)}

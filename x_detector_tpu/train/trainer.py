@@ -1,0 +1,165 @@
+"""Jitted train steps for both detector families.
+
+Rebuilds the graph-building half of the reference train scripts (SURVEY.md
+§3.1): forward -> on-the-fly target assignment -> losses -> SGD-momentum
+update, as one compiled function per family.  Batches are dicts of
+fixed-shape arrays:
+
+  image      [B, S, S, 3]   float32, whitened
+  gt_boxes   [B, G, 4]      normalized corners, zero-padded
+  gt_labels  [B, G]         int32 class ids (0 on padding)
+  gt_mask    [B, G]         bool
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from x_detector_tpu.config import ExperimentConfig
+from x_detector_tpu.models.lighthead import LightHeadRCNN, build_rpn_anchors
+from x_detector_tpu.models.ssd import SSDModel, build_ssd_anchors
+from x_detector_tpu.ops import matching
+from x_detector_tpu.train import losses as loss_lib
+from x_detector_tpu.train.schedule import make_optimizer
+from x_detector_tpu.train.train_state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def _mean_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: v.mean() for k, v in metrics.items()}
+
+
+# ---------------------------------------------------------------------------
+# SSD family
+# ---------------------------------------------------------------------------
+
+def make_ssd_train_step(model: SSDModel, cfg: ExperimentConfig
+                        ) -> Callable[[TrainState, Batch, jax.Array],
+                                      Tuple[TrainState, Dict[str, Any]]]:
+    anchors = jnp.asarray(build_ssd_anchors(cfg.model))
+    tcfg = cfg.train
+
+    def loss_fn(params, batch_stats, batch):
+        (cls_logits, box_codes), new_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+
+        def match_one(gtb, gtl, gtm):
+            return matching.match_anchors(
+                anchors, gtb, gtl, gtm, pos_iou=tcfg.ssd_match_iou,
+                neg_iou=tcfg.ssd_match_iou, force_match=True)
+
+        m = jax.vmap(match_one)(batch["gt_boxes"], batch["gt_labels"],
+                                batch["gt_mask"])
+        per_image = jax.vmap(functools.partial(
+            loss_lib.ssd_loss, neg_pos_ratio=tcfg.neg_pos_ratio))
+        total, metrics = per_image(cls_logits, box_codes, m.labels,
+                                   m.reg_targets, m.fg_mask)
+        return total.mean(), (_mean_metrics(metrics),
+                              new_state["batch_stats"])
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        del rng  # SSD loss is deterministic given the batch
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(grads, new_bs)
+        metrics = dict(metrics, total_loss=loss)
+        return state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Light-Head R-CNN family
+# ---------------------------------------------------------------------------
+
+def make_lighthead_train_step(model: LightHeadRCNN, cfg: ExperimentConfig
+                              ) -> Callable[[TrainState, Batch, jax.Array],
+                                            Tuple[TrainState, Dict[str, Any]]]:
+    anchors = jnp.asarray(build_rpn_anchors(cfg.model))
+    tcfg = cfg.train
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, new_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+
+        bsz = batch["image"].shape[0]
+        rngs = jax.random.split(rng, bsz)
+
+        # --- RPN targets + loss (SURVEY.md §3.1: match 0.7/0.3, 256 sample)
+        def rpn_one(key, gtb, gtl, gtm, cls, loc):
+            m = matching.match_anchors(anchors, gtb, gtl, gtm,
+                                       pos_iou=tcfg.rpn_pos_iou,
+                                       neg_iou=tcfg.rpn_neg_iou,
+                                       force_match=True)
+            return loss_lib.rpn_loss(key, cls, loc, m.fg_mask, m.bg_mask,
+                                     m.reg_targets,
+                                     batch_size=tcfg.rpn_batch_size,
+                                     fg_fraction=tcfg.rpn_fg_fraction)
+
+        rpn_total, rpn_metrics = jax.vmap(rpn_one)(
+            rngs, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+            out["rpn_cls"], out["rpn_loc"])
+
+        # --- ROI targets + OHEM loss over the (stop-grad) proposals
+        props = jax.lax.stop_gradient(out["proposals"])
+        pvalid = out["proposal_valid"]
+
+        def roi_one(p, pv, gtb, gtl, gtm, cls, box):
+            m = matching.match_proposals(p, pv, gtb, gtl, gtm,
+                                         fg_iou=tcfg.roi_fg_iou)
+            return loss_lib.roi_loss_ohem(cls, box, m.labels, m.reg_targets,
+                                          m.fg_mask, pv,
+                                          ohem_topk=tcfg.ohem_topk)
+
+        roi_total, roi_metrics = jax.vmap(roi_one)(
+            props, pvalid, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_mask"], out["roi_cls"], out["roi_box"])
+
+        total = rpn_total.mean() + roi_total.mean()
+        metrics = {**_mean_metrics(rpn_metrics), **_mean_metrics(roi_metrics)}
+        return total, (metrics, new_state["batch_stats"])
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng)
+        state = state.apply_gradients(grads, new_bs)
+        metrics = dict(metrics, total_loss=loss)
+        return state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# State construction
+# ---------------------------------------------------------------------------
+
+def create_model_and_state(cfg: ExperimentConfig, rng: jax.Array,
+                           dtype=jnp.bfloat16):
+    """Build the model + initialized TrainState for the configured family."""
+    if cfg.model.family == "ssd":
+        model = SSDModel(config=cfg.model, dtype=dtype)
+    elif cfg.model.family == "lighthead":
+        model = LightHeadRCNN(config=cfg.model, dtype=dtype)
+    else:
+        raise ValueError(f"unknown family {cfg.model.family!r}")
+    dummy = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 3))
+    variables = model.init(rng, dummy, train=False)
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", {}),
+                              tx=tx)
+    return model, state
+
+
+def make_train_step(model, cfg: ExperimentConfig):
+    if cfg.model.family == "ssd":
+        return make_ssd_train_step(model, cfg)
+    return make_lighthead_train_step(model, cfg)
