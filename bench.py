@@ -1,0 +1,81 @@
+"""End-to-end detection throughput benchmark (driver contract).
+
+Measures BASELINE config 3 — Light-Head R-CNN with Xception-lite backbone +
+PSROIAlign, batch-16, 800px — full pipeline images -> final detections
+(backbone, RPN, proposal NMS, PSROIAlign, ROI head, per-class NMS), fully
+jitted, bf16 compute, on whatever accelerator the default JAX backend
+exposes (one TPU v5e chip under the driver).
+
+Measurement protocol: on this environment's remote-TPU (axon) platform,
+``jax.block_until_ready`` does NOT synchronize with device execution — only
+a host readback does.  The loop therefore queues ``ITERS`` executions over
+*distinct* pre-staged input batches (so no layer of the stack can memoize)
+and ends with a single scalar host readback; device queues are FIFO, so the
+readback bounds all queued work.  One tunnel round-trip (~27 ms) is included
+in the total — i.e., the reported number slightly UNDER-estimates the chip's
+sustained throughput.
+
+Prints exactly one JSON line:
+  {"metric": "detection_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N / 102.0}
+
+vs_baseline denominator: the reference repo published no throughput numbers
+(BASELINE.md); the closest public figure for this architecture is the
+Light-Head R-CNN paper's 102 FPS (small Xception*, Titan Xp, ~800px input,
+arXiv:1711.07264) — used as the 1.0x proxy.  The BASELINE.json target of
+">= 5x reference images/sec/chip" therefore corresponds to vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+ITERS = 10
+
+
+def main():
+    from x_detector_tpu.config import lighthead_xception
+    from x_detector_tpu.models.lighthead import (LightHeadRCNN,
+                                                 lighthead_postprocess)
+
+    cfg = lighthead_xception(image_size=800)
+    model = LightHeadRCNN(config=cfg.model, dtype=jnp.bfloat16)
+    size = cfg.model.image_size
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), train=False)
+
+    @jax.jit
+    def detect(variables, images):
+        out = model.apply(variables, images, train=False)
+        det = lighthead_postprocess(out, cfg.model)
+        # scalar summary: the single host readback that fences the queue
+        return det.boxes, det.scores, det.classes, det.valid, det.scores.sum()
+
+    batches = [jax.random.uniform(jax.random.PRNGKey(i),
+                                  (BATCH, size, size, 3), jnp.float32,
+                                  maxval=255.0) for i in range(ITERS)]
+    # stage inputs + warm up compile
+    _ = np.asarray(detect(variables, batches[0])[4])
+    _ = np.asarray(detect(variables, batches[1])[4])
+
+    t0 = time.perf_counter()
+    results = [detect(variables, b) for b in batches]
+    _ = np.asarray(results[-1][4])          # FIFO fence
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "detection_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / 102.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

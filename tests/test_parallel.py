@@ -1,0 +1,131 @@
+"""Data-parallel training on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_train import small_ssd_cfg, small_lighthead_cfg, get_batch
+from x_detector_tpu.parallel import mesh as mesh_lib
+from x_detector_tpu.parallel.data_parallel import make_dp_train_step
+from x_detector_tpu.train.trainer import (create_model_and_state,
+                                          make_train_step)
+
+import dataclasses
+
+
+def test_mesh_has_8_devices():
+    m = mesh_lib.make_mesh()
+    assert m.devices.size == 8
+
+
+def test_dp_step_runs_on_8_devices():
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    m = mesh_lib.make_mesh(8)
+    step = make_dp_train_step(model, cfg, m)
+    batch = get_batch(cfg)
+    batch = mesh_lib.shard_batch(m, batch)
+    state = mesh_lib.replicate_state(m, state)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+
+
+def test_dp_collective_math_exact_on_continuous_loss():
+    """DP psum grad sync == manual per-shard grad averaging, verified with a
+    continuous surrogate loss.
+
+    (Exact equality on the real detection losses is ill-posed: hard-negative
+    mining/OHEM are discontinuous top-k selections, so fp-reassociation
+    between differently-compiled partitionings can flip which anchors are
+    selected and reroute gradients — observed and expected.  The detector DP
+    steps are covered by the smoke tests; here we isolate the collective
+    arithmetic.)
+    """
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
+    model, state0 = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                           dtype=jnp.float32)
+    batch = get_batch(cfg)
+    rng = jax.random.PRNGKey(3)
+    n_dev = 4
+
+    def surrogate(params, batch_stats, b, rng):
+        # continuous + param/batch-dependent: couples a conv kernel's norm
+        # with the per-shard image statistics
+        k = params["backbone"]["stem"]["Conv_0"]["kernel"]
+        loss = (jnp.tanh(k) ** 2).sum() * (b["image"] ** 2).mean()
+        return loss, ({"surrogate": loss}, batch_stats)
+
+    grads_list, losses = [], []
+    for i in range(n_dev):
+        shard = {k: v[i:i + 1] for k, v in batch.items()}
+        r = jax.random.fold_in(rng, i)
+        (loss, _), g = jax.value_and_grad(surrogate, has_aux=True)(
+            state0.params, state0.batch_stats, shard, r)
+        grads_list.append(g)
+        losses.append(float(loss))
+    avg_grads = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / n_dev, *grads_list)
+    s_ref = state0.apply_gradients(avg_grads)
+
+    m = mesh_lib.make_mesh(n_dev)
+    dp_step = make_dp_train_step(model, cfg, m, loss_fn=surrogate)
+    s2, m2 = dp_step(mesh_lib.replicate_state(m, state0),
+                     mesh_lib.shard_batch(m, batch), rng)
+
+    np.testing.assert_allclose(float(m2["total_loss"]), np.mean(losses),
+                               rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s_ref.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_detector_loss_matches_shard_mean():
+    """The DP detector loss equals the mean of per-shard losses (continuous
+    quantity; tolerant of fp reassociation)."""
+    from x_detector_tpu.train.trainer import make_loss_fn
+
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
+    model, state0 = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                           dtype=jnp.float32)
+    batch = get_batch(cfg)
+    rng = jax.random.PRNGKey(3)
+    loss_fn = make_loss_fn(model, cfg)
+    losses = []
+    for i in range(4):
+        shard = {k: v[i:i + 1] for k, v in batch.items()}
+        l, _ = loss_fn(state0.params, state0.batch_stats, shard,
+                       jax.random.fold_in(rng, i))
+        losses.append(float(l))
+    m = mesh_lib.make_mesh(4)
+    dp_step = make_dp_train_step(model, cfg, m)
+    _, m2 = dp_step(mesh_lib.replicate_state(m, state0),
+                    mesh_lib.shard_batch(m, batch), rng)
+    np.testing.assert_allclose(float(m2["total_loss"]), np.mean(losses),
+                               rtol=1e-3)
+
+
+def test_dp_lighthead_step():
+    cfg = small_lighthead_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    m = mesh_lib.make_mesh(8)
+    step = make_dp_train_step(model, cfg, m)
+    batch = get_batch(cfg)
+    state = mesh_lib.replicate_state(m, state)
+    batch = mesh_lib.shard_batch(m, batch)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("rpn_cls_loss", "roi_cls_loss", "total_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 1

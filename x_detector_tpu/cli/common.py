@@ -1,0 +1,60 @@
+"""Shared CLI plumbing: preset resolution, data sources, model build."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x_detector_tpu.config import PRESETS, ExperimentConfig
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="lighthead_resnet50",
+                   choices=sorted(PRESETS), help="experiment preset")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="override the preset input size")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--data-dir", default=None,
+                   help="directory of VOC TFRecord shards (default: "
+                        "synthetic data)")
+    p.add_argument("--model-dir", default="/tmp/xdet_model",
+                   help="checkpoint/metrics directory")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def resolve_config(args) -> ExperimentConfig:
+    cfg = PRESETS[args.preset](
+        image_size=args.image_size) if args.image_size else \
+        PRESETS[args.preset]()
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           batch_size=args.batch_size))
+    return cfg
+
+
+def batch_iterator(args, cfg: ExperimentConfig, training: bool,
+                   canvas_size: Optional[int] = None
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+    """TFRecord batches if --data-dir given, else synthetic batches."""
+    canvas = canvas_size or cfg.model.image_size
+    if args.data_dir:
+        import glob
+
+        from x_detector_tpu.data import tfrecord as tfr
+        shards = sorted(glob.glob(f"{args.data_dir}/*.tfrecord"))
+        assert shards, f"no .tfrecord shards under {args.data_dir}"
+        ds = tfr.make_dataset(shards, canvas_size=canvas,
+                              max_gt=cfg.data.max_gt_boxes,
+                              batch_size=cfg.train.batch_size,
+                              shuffle=training, seed=args.seed,
+                              repeat=training)
+        return tfr.as_numpy_iterator(ds)
+    from x_detector_tpu.data.synthetic import synthetic_batches
+    return synthetic_batches(args.seed, cfg.train.batch_size, canvas,
+                             cfg.data.max_gt_boxes)

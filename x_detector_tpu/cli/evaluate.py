@@ -1,0 +1,110 @@
+"""Evaluation CLI — the rebuild of the reference's *_eval.py scripts (T3).
+
+Restores a checkpoint, runs the detector over the eval split (TFRecords or
+synthetic), and reports VOC07 mAP (11-point by default).
+
+Example:
+  python -m x_detector_tpu.cli.evaluate --preset ssd_resnet50 \
+      --model-dir /tmp/ssd --num-batches 50
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x_detector_tpu.cli import common
+from x_detector_tpu.data.augment import preprocess_for_eval
+from x_detector_tpu.models.detector import postprocess_detections
+from x_detector_tpu.models.lighthead import lighthead_postprocess
+from x_detector_tpu.models.ssd import build_ssd_anchors
+from x_detector_tpu.train.checkpoint import CheckpointManager
+from x_detector_tpu.train.trainer import create_model_and_state
+from x_detector_tpu.utils.metrics_voc import VOCEvaluator
+
+
+def build_eval_fn(model, cfg):
+    """jitted images -> (boxes, scores, classes, valid)."""
+    if cfg.model.family == "ssd":
+        anchors = jnp.asarray(build_ssd_anchors(cfg.model))
+
+        @jax.jit
+        def fn(variables, images):
+            cls, loc = model.apply(variables, images, train=False)
+            det = postprocess_detections(
+                loc, cls, anchors, max_output=cfg.model.nms.max_output,
+                iou_threshold=cfg.model.nms.iou_threshold,
+                score_threshold=cfg.model.nms.score_threshold)
+            return det.boxes, det.scores, det.classes, det.valid
+    else:
+        @jax.jit
+        def fn(variables, images):
+            out = model.apply(variables, images, train=False)
+            det = lighthead_postprocess(out, cfg.model)
+            return det.boxes, det.scores, det.classes, det.valid
+    return fn
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--num-batches", type=int, default=50,
+                   help="eval batches (synthetic) / cap (tfrecord)")
+    p.add_argument("--use-07-metric", action="store_true", default=True)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    args = p.parse_args(argv)
+
+    cfg = common.resolve_config(args)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(args.seed),
+                                          dtype=dtype)
+    ckpt = CheckpointManager(f"{args.model_dir}/ckpt")
+    if ckpt.latest_step() is not None:
+        state, _ = ckpt.restore(state)
+        print(f"restored checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint found, evaluating random init")
+    ckpt.close()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    eval_fn = build_eval_fn(model, cfg)
+    preprocess = jax.jit(jax.vmap(
+        lambda im: preprocess_for_eval(im, cfg.data)))
+
+    ev = VOCEvaluator(num_classes=cfg.model.num_classes - 1,
+                      use_07_metric=args.use_07_metric)
+    it = common.batch_iterator(args, cfg, training=False)
+    for bi in range(args.num_batches):
+        try:
+            raw = next(it)
+        except StopIteration:
+            break
+        images = preprocess(jnp.asarray(raw["image"]))
+        boxes, scores, classes, valid = eval_fn(variables, images)
+        boxes, scores, classes, valid = map(
+            np.asarray, (boxes, scores, classes, valid))
+        bsz = images.shape[0]
+        for i in range(bsz):
+            image_id = (raw["image_id"][i].decode()
+                        if "image_id" in raw else f"b{bi}_i{i}")
+            m = np.asarray(raw["gt_mask"][i])
+            diff = (np.asarray(raw["difficult"][i])[m]
+                    if "difficult" in raw else None)
+            ev.add_ground_truth(image_id, np.asarray(raw["gt_boxes"][i])[m],
+                                np.asarray(raw["gt_labels"][i])[m], diff)
+            v = valid[i]
+            ev.add_detections(image_id, boxes[i][v], scores[i][v],
+                              classes[i][v])
+    res = ev.evaluate()
+    print(f"mAP: {res['mAP']:.4f}")
+    for cls, ap in sorted(res["per_class_ap"].items()):
+        print(f"  class {cls:2d}: AP {ap:.4f}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Demo/predict CLI — single image in, annotated image out (T4, §3.3).
+
+Example:
+  python -m x_detector_tpu.cli.predict --preset lighthead_xception \
+      --model-dir /tmp/lh --input dog.jpg --output out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x_detector_tpu.cli import common
+from x_detector_tpu.cli.evaluate import build_eval_fn
+from x_detector_tpu.data.augment import preprocess_for_eval
+from x_detector_tpu.train.checkpoint import CheckpointManager
+from x_detector_tpu.train.trainer import create_model_and_state
+from x_detector_tpu.utils.draw import draw_detections
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--input", required=True, help="input image (jpg/png)")
+    p.add_argument("--output", default="detections.png")
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    args = p.parse_args(argv)
+
+    from PIL import Image
+    img = np.asarray(Image.open(args.input).convert("RGB"), np.float32)
+
+    cfg = common.resolve_config(args)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(args.seed),
+                                          dtype=dtype)
+    ckpt = CheckpointManager(f"{args.model_dir}/ckpt")
+    if ckpt.latest_step() is not None:
+        state, _ = ckpt.restore(state)
+    else:
+        print("WARNING: no checkpoint found, predicting with random init")
+    ckpt.close()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    eval_fn = build_eval_fn(model, cfg)
+    inp = preprocess_for_eval(jnp.asarray(img), cfg.data)[None]
+    boxes, scores, classes, valid = map(
+        np.asarray, eval_fn(variables, inp))
+
+    keep = valid[0] & (scores[0] >= args.score_threshold)
+    print(f"{int(keep.sum())} detections >= {args.score_threshold}")
+    for b, s, c in zip(boxes[0][keep], scores[0][keep], classes[0][keep]):
+        print(f"  class {int(c):2d} score {s:.3f} box {np.round(b, 3)}")
+
+    vis = draw_detections(img, boxes[0], scores[0], classes[0], valid[0],
+                          score_threshold=args.score_threshold)
+    from PIL import Image as _I
+    _I.fromarray(vis).save(args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Training CLI — the rebuild of the reference's *_train.py scripts (T1/T2).
+
+Single-chip by default; ``--num-devices N`` switches to the shard_map
+data-parallel step over an N-device mesh (BASELINE config 5 on a slice;
+works identically on the virtual CPU mesh).
+
+Example:
+  python -m x_detector_tpu.cli.train --preset lighthead_xception \
+      --steps 1000 --model-dir /tmp/lh  [--data-dir /path/to/tfrecords]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from x_detector_tpu.cli import common
+from x_detector_tpu.data.augment import preprocess_batch_for_train
+from x_detector_tpu.parallel import mesh as mesh_lib
+from x_detector_tpu.parallel.data_parallel import make_dp_train_step
+from x_detector_tpu.train.checkpoint import CheckpointManager
+from x_detector_tpu.train.trainer import (create_model_and_state,
+                                          make_train_step)
+from x_detector_tpu.utils.logging import MetricsLogger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="data-parallel device count (0 = single device)")
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = common.resolve_config(args)
+    mesh_lib.maybe_initialize_distributed()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(args.seed),
+                                          dtype=dtype)
+
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        mesh = mesh_lib.make_mesh(args.num_devices)
+        step_fn = make_dp_train_step(model, cfg, mesh)
+        state = mesh_lib.replicate_state(mesh, state)
+    else:
+        step_fn = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(args.model_dir, "ckpt"),
+                             keep=cfg.train.keep_checkpoints)
+    logger = MetricsLogger(os.path.join(args.model_dir, "metrics.jsonl"),
+                           echo_every=args.log_every)
+
+    start_position = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state, data_state = ckpt.restore(state)
+        start_position = int(data_state.get("position", 0))
+        print(f"resumed from step {int(state.step)} "
+              f"(data position {start_position})")
+
+    # Host canvas is larger than the train crop so crops have context.
+    canvas = int(cfg.model.image_size * 1.2)
+    it = common.batch_iterator(args, cfg, training=True, canvas_size=canvas)
+    for _ in range(start_position):  # deterministic resume of synthetic data
+        if args.data_dir:
+            break  # TFRecord shuffle stream: position skip not required
+        next(it)
+
+    aug_rng = jax.random.PRNGKey(args.seed + 1)
+    position = start_position
+    while int(state.step) < args.steps:
+        raw = next(it)
+        position += 1
+        raw = {k: jnp.asarray(v) for k, v in raw.items()
+               if k in ("image", "gt_boxes", "gt_labels", "gt_mask")}
+        aug_key = jax.random.fold_in(aug_rng, position)
+        batch = preprocess_batch_for_train(aug_key, raw, cfg.data)
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(mesh, batch)
+        step_key = jax.random.fold_in(jax.random.PRNGKey(args.seed + 2),
+                                      position)
+        state, metrics = step_fn(state, batch, step_key)
+        step = int(state.step)
+        logger.log(step, metrics)
+        if step % args.checkpoint_every == 0 or step >= args.steps:
+            ckpt.save(step, state, data_state={"position": position})
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+    print(f"done: {int(state.step)} steps -> {args.model_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,13 +38,13 @@ def _mean_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 # SSD family
 # ---------------------------------------------------------------------------
 
-def make_ssd_train_step(model: SSDModel, cfg: ExperimentConfig
-                        ) -> Callable[[TrainState, Batch, jax.Array],
-                                      Tuple[TrainState, Dict[str, Any]]]:
+def make_ssd_loss_fn(model: SSDModel, cfg: ExperimentConfig):
+    """loss_fn(params, batch_stats, batch, rng) -> (loss, (metrics, bs))."""
     anchors = jnp.asarray(build_ssd_anchors(cfg.model))
     tcfg = cfg.train
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
+        del rng  # SSD loss is deterministic given the batch
         (cls_logits, box_codes), new_state = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], train=True, mutable=["batch_stats"])
@@ -63,10 +63,18 @@ def make_ssd_train_step(model: SSDModel, cfg: ExperimentConfig
         return total.mean(), (_mean_metrics(metrics),
                               new_state["batch_stats"])
 
+    return loss_fn
+
+
+def make_ssd_train_step(model: SSDModel, cfg: ExperimentConfig
+                        ) -> Callable[[TrainState, Batch, jax.Array],
+                                      Tuple[TrainState, Dict[str, Any]]]:
+    loss_fn = make_ssd_loss_fn(model, cfg)
+
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
-        del rng  # SSD loss is deterministic given the batch
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng)
         state = state.apply_gradients(grads, new_bs)
         metrics = dict(metrics, total_loss=loss)
         return state, metrics
@@ -78,9 +86,8 @@ def make_ssd_train_step(model: SSDModel, cfg: ExperimentConfig
 # Light-Head R-CNN family
 # ---------------------------------------------------------------------------
 
-def make_lighthead_train_step(model: LightHeadRCNN, cfg: ExperimentConfig
-                              ) -> Callable[[TrainState, Batch, jax.Array],
-                                            Tuple[TrainState, Dict[str, Any]]]:
+def make_lighthead_loss_fn(model: LightHeadRCNN, cfg: ExperimentConfig):
+    """loss_fn(params, batch_stats, batch, rng) -> (loss, (metrics, bs))."""
     anchors = jnp.asarray(build_rpn_anchors(cfg.model))
     tcfg = cfg.train
 
@@ -126,6 +133,14 @@ def make_lighthead_train_step(model: LightHeadRCNN, cfg: ExperimentConfig
         metrics = {**_mean_metrics(rpn_metrics), **_mean_metrics(roi_metrics)}
         return total, (metrics, new_state["batch_stats"])
 
+    return loss_fn
+
+
+def make_lighthead_train_step(model: LightHeadRCNN, cfg: ExperimentConfig
+                              ) -> Callable[[TrainState, Batch, jax.Array],
+                                            Tuple[TrainState, Dict[str, Any]]]:
+    loss_fn = make_lighthead_loss_fn(model, cfg)
+
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
@@ -163,3 +178,10 @@ def make_train_step(model, cfg: ExperimentConfig):
     if cfg.model.family == "ssd":
         return make_ssd_train_step(model, cfg)
     return make_lighthead_train_step(model, cfg)
+
+
+def make_loss_fn(model, cfg: ExperimentConfig):
+    """Family-dispatched loss_fn(params, batch_stats, batch, rng)."""
+    if cfg.model.family == "ssd":
+        return make_ssd_loss_fn(model, cfg)
+    return make_lighthead_loss_fn(model, cfg)
