@@ -1,0 +1,88 @@
+"""Native C++ loader vs tf.data reader parity on generated VOC records."""
+
+import numpy as np
+import pytest
+
+from test_voc_io import make_fake_voc
+
+pytest.importorskip("tensorflow")
+
+from x_detector_tpu.data import tfrecord as tfr
+from x_detector_tpu.data.native_loader import NativeLoader, native_available
+
+if not native_available(build_if_missing=True):
+    pytest.skip("native loader unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def records(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("voc")
+    ids, meta = make_fake_voc(str(tmp), n_images=6)
+    paths = tfr.convert_voc_to_tfrecords(
+        str(tmp), [("2007", "trainval")], str(tmp / "rec"), shard_size=3)
+    return ids, meta, paths
+
+
+def test_native_reads_all_records(records):
+    ids, meta, paths = records
+    loader = NativeLoader(paths, canvas_size=64, max_gt=10, batch_size=4,
+                          shuffle=False, repeat=False, num_threads=1)
+    seen = []
+    for batch in loader:
+        assert batch["image"].shape[1:] == (64, 64, 3)
+        assert batch["gt_boxes"].shape[1:] == (10, 4)
+        seen.extend(i.decode() for i in batch["image_id"])
+    loader.close()
+    assert sorted(seen) == sorted(ids)
+
+
+def test_native_matches_tfdata(records):
+    ids, meta, paths = records
+    # tf.data reference (unshuffled)
+    ds = tfr.make_dataset(paths, canvas_size=64, max_gt=10, batch_size=1,
+                          shuffle=False, repeat=False)
+    ref = {b["image_id"][0].decode(): b
+           for b in tfr.as_numpy_iterator(ds)}
+
+    loader = NativeLoader(paths, canvas_size=64, max_gt=10, batch_size=1,
+                          shuffle=False, repeat=False, num_threads=1)
+    count = 0
+    for batch in loader:
+        image_id = batch["image_id"][0].decode()
+        r = ref[image_id]
+        np.testing.assert_allclose(batch["gt_boxes"][0], r["gt_boxes"][0],
+                                   atol=1e-5)
+        assert (batch["gt_labels"][0] == r["gt_labels"][0]).all()
+        assert (batch["gt_mask"][0] == r["gt_mask"][0]).all()
+        assert (batch["difficult"][0] == r["difficult"][0]).all()
+        # decoders/resizers differ slightly (libjpeg vs TF, bilinear conv):
+        # require close agreement in image content
+        diff = np.abs(batch["image"][0] - r["image"][0]).mean()
+        assert diff < 6.0, f"mean abs pixel diff {diff} too large"
+        count += 1
+    loader.close()
+    assert count == len(ids)
+
+
+def test_native_shuffle_and_repeat(records):
+    ids, meta, paths = records
+    loader = NativeLoader(paths, canvas_size=32, max_gt=10, batch_size=4,
+                          shuffle=True, seed=1, repeat=True, num_threads=2)
+    batches = [next(loader) for _ in range(5)]  # 20 examples > 6 => repeats
+    loader.close()
+    seen = set()
+    for b in batches:
+        seen.update(i.decode() for i in b["image_id"])
+    assert seen == set(ids)
+
+
+def test_native_handles_corrupt_shard(records, tmp_path):
+    ids, meta, paths = records
+    bad = tmp_path / "bad.tfrecord"
+    bad.write_bytes(b"this is not a tfrecord at all" * 10)
+    loader = NativeLoader([str(bad)] + list(paths), canvas_size=32,
+                          max_gt=10, batch_size=2, shuffle=False,
+                          repeat=False, num_threads=1)
+    total = sum(b["image"].shape[0] for b in loader)
+    loader.close()
+    assert total == len(ids)  # corrupt shard skipped, good ones read

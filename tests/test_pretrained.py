@@ -1,0 +1,152 @@
+"""torchvision ResNet-50 -> Flax ResNetV1 conversion parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from x_detector_tpu.models.resnet import resnet50
+from x_detector_tpu.utils.pretrained import (load_backbone_into_variables,
+                                             torch_resnet50_to_flax)
+
+
+class _Bottleneck(torch.nn.Module):
+    """torchvision-compatible bottleneck (same state_dict key names)."""
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1,
+                 downsample=False):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                               padding=dilation, dilation=dilation,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + identity)
+
+
+class _TorchResNet50(torch.nn.Module):
+    """Minimal torchvision-resnet50-shaped network (stride-32 C5)."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = 64
+        for li, (planes, blocks, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            layers = []
+            for b in range(blocks):
+                layers.append(_Bottleneck(
+                    inplanes, planes, stride=stride if b == 0 else 1,
+                    downsample=(b == 0)))
+                inplanes = planes * 4
+            setattr(self, f"layer{li + 1}", nn.Sequential(*layers))
+
+
+@pytest.fixture(scope="module")
+def tiny_torch_resnet():
+    torch.manual_seed(0)
+    m = _TorchResNet50()
+    for p in m.parameters():
+        with torch.no_grad():
+            p.normal_(0, 0.02)
+    # randomize BN running stats so the parity test exercises them
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.running_mean.normal_(0, 0.1)
+                mod.running_var.uniform_(0.5, 1.5)
+    return m.eval()
+
+
+def test_conversion_structure(tiny_torch_resnet):
+    params, stats = torch_resnet50_to_flax(tiny_torch_resnet.state_dict())
+    model = resnet50(dilate_c5=False, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # every converted leaf must exist in the flax tree with matching shape
+    ref_p = variables["params"]
+
+    def check(dst, src, path=""):
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k}"
+            if isinstance(v, dict):
+                check(dst[k], v, f"{path}/{k}")
+            else:
+                assert dst[k].shape == v.shape, f"{path}/{k}"
+
+    check(ref_p, params)
+    check(variables["batch_stats"], stats)
+
+
+def test_forward_parity_with_torch(tiny_torch_resnet):
+    """Converted flax backbone matches torch eval-mode activations."""
+    params, stats = torch_resnet50_to_flax(tiny_torch_resnet.state_dict())
+    model = resnet50(dilate_c5=False, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    variables = {"params": params, "batch_stats": stats}
+    feats = model.apply(variables, jnp.asarray(x), train=False)
+
+    with torch.no_grad():
+        t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        m = tiny_torch_resnet
+        h = m.maxpool(m.relu(m.bn1(m.conv1(t))))
+        h = m.layer1(h)
+        c3 = m.layer2(h)
+        c4 = m.layer3(c3)
+        c5 = m.layer4(c4)
+
+    for name, torch_out in (("c3", c3), ("c4", c4), ("c5", c5)):
+        torch_np = np.transpose(torch_out.numpy(), (0, 2, 3, 1))
+        flax_np = np.asarray(feats[name])
+        assert flax_np.shape == torch_np.shape, name
+        np.testing.assert_allclose(flax_np, torch_np, atol=2e-3, rtol=1e-2,
+                                   err_msg=name)
+
+
+def test_graft_keeps_head_init(tiny_torch_resnet):
+    from x_detector_tpu.config import ssd_resnet50
+    from x_detector_tpu.models.ssd import SSDModel
+
+    params, stats = torch_resnet50_to_flax(tiny_torch_resnet.state_dict())
+    cfg = ssd_resnet50(image_size=64).model
+    model = SSDModel(config=cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    head_before = np.asarray(
+        variables["params"]["head"]["cls0"]["kernel"])
+    new_vars = load_backbone_into_variables(variables, params, stats)
+    # backbone replaced
+    np.testing.assert_allclose(
+        np.asarray(new_vars["params"]["backbone"]["stem"]["Conv_0"]["kernel"]),
+        params["stem"]["Conv_0"]["kernel"], atol=1e-6)
+    # head untouched
+    np.testing.assert_allclose(
+        np.asarray(new_vars["params"]["head"]["cls0"]["kernel"]),
+        head_before, atol=0)

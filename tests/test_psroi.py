@@ -22,7 +22,7 @@ def test_einsum_matches_gather_oracle(rng):
     ref = np.asarray(psroi_align_reference(jnp.asarray(feat),
                                            jnp.asarray(rois), grid=grid))
     got = np.asarray(psroi_align(jnp.asarray(feat), jnp.asarray(rois),
-                                 grid=grid))
+                                 grid=grid, precise=True))
     assert ref.shape == (16, grid, grid, c)
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
@@ -34,7 +34,7 @@ def test_realistic_lighthead_shape(rng):
     ref = np.asarray(psroi_align_reference(jnp.asarray(feat),
                                            jnp.asarray(rois), grid=7))
     got = np.asarray(psroi_align(jnp.asarray(feat), jnp.asarray(rois),
-                                 grid=7))
+                                 grid=7, precise=True))
     assert got.shape == (32, 7, 7, 10)
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
@@ -46,7 +46,7 @@ def test_position_sensitivity():
     for g in range(grid * grid):
         feat[:, :, g] = float(g)
     rois = jnp.asarray([[0.25, 0.25, 0.75, 0.75]], jnp.float32)
-    out = np.asarray(psroi_align(jnp.asarray(feat), rois, grid=grid))
+    out = np.asarray(psroi_align(jnp.asarray(feat), rois, grid=grid, precise=True))
     np.testing.assert_allclose(out[0, :, :, 0], [[0.0, 1.0], [2.0, 3.0]],
                                atol=1e-5)
 
@@ -56,7 +56,7 @@ def test_degenerate_roi_does_not_nan(rng):
     feat = rng.normal(0, 1, (6, 6, grid * grid * c)).astype(np.float32)
     rois = jnp.asarray([[0.5, 0.5, 0.5, 0.5],      # zero-size
                         [0.0, 0.0, 0.0, 0.0]], jnp.float32)
-    out = np.asarray(psroi_align(jnp.asarray(feat), rois, grid=grid))
+    out = np.asarray(psroi_align(jnp.asarray(feat), rois, grid=grid, precise=True))
     assert np.isfinite(out).all()
 
 
@@ -66,7 +66,7 @@ def test_gradient_deterministic_and_correct(rng):
     rois = jnp.asarray(random_rois(rng, 4))
 
     def loss(f):
-        return (psroi_align(f, rois, grid=grid) ** 2).sum()
+        return (psroi_align(f, rois, grid=grid, precise=True) ** 2).sum()
 
     g1 = jax.grad(loss)(jnp.asarray(feat))
     g2 = jax.grad(loss)(jnp.asarray(feat))
@@ -86,8 +86,19 @@ def test_batched_matches_loop(rng):
     feats = rng.normal(0, 1, (2, 7, 9, grid * grid * c)).astype(np.float32)
     rois = np.stack([random_rois(rng, 5) for _ in range(2)])
     out = np.asarray(batched_psroi_align(jnp.asarray(feats),
-                                         jnp.asarray(rois), grid=grid))
+                                         jnp.asarray(rois), grid=grid, precise=True))
     for b in range(2):
         single = np.asarray(psroi_align(jnp.asarray(feats[b]),
-                                        jnp.asarray(rois[b]), grid=grid))
+                                        jnp.asarray(rois[b]), grid=grid, precise=True))
         np.testing.assert_allclose(out[b], single, atol=1e-5)
+
+
+def test_bf16_default_close_to_oracle(rng):
+    feat = rng.normal(0, 1, (13, 17, 490)).astype(np.float32)
+    rois = random_rois(rng, 16)
+    ref = np.asarray(psroi_align_reference(jnp.asarray(feat),
+                                           jnp.asarray(rois), grid=7))
+    got = np.asarray(psroi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                 grid=7))  # default bf16 operands
+    # bf16 operands, fp32 accumulation: ~2-3 decimal digits
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)

@@ -41,14 +41,29 @@ def resolve_config(args) -> ExperimentConfig:
 def batch_iterator(args, cfg: ExperimentConfig, training: bool,
                    canvas_size: Optional[int] = None
                    ) -> Iterator[Dict[str, np.ndarray]]:
-    """TFRecord batches if --data-dir given, else synthetic batches."""
+    """TFRecord batches if --data-dir given, else synthetic batches.
+
+    For TFRecord data the native C++ loader (data/native_loader.py) is
+    preferred — threaded decode with no TF dependency; the tf.data reader
+    is the fallback when the shared library cannot be built.
+    """
     canvas = canvas_size or cfg.model.image_size
     if args.data_dir:
         import glob
-
-        from x_detector_tpu.data import tfrecord as tfr
         shards = sorted(glob.glob(f"{args.data_dir}/*.tfrecord"))
         assert shards, f"no .tfrecord shards under {args.data_dir}"
+
+        from x_detector_tpu.data.native_loader import (NativeLoader,
+                                                       native_available)
+        if getattr(args, "use_native_loader", True) and \
+                native_available(build_if_missing=True):
+            return NativeLoader(shards, canvas_size=canvas,
+                                max_gt=cfg.data.max_gt_boxes,
+                                batch_size=cfg.train.batch_size,
+                                shuffle=training, seed=args.seed,
+                                repeat=training)
+
+        from x_detector_tpu.data import tfrecord as tfr
         ds = tfr.make_dataset(shards, canvas_size=canvas,
                               max_gt=cfg.data.max_gt_boxes,
                               batch_size=cfg.train.batch_size,

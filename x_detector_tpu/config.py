@@ -79,9 +79,12 @@ class ProposalConfig:
 
     All sizes are static: top-``pre_nms_topk`` by score, NMS at
     ``nms_threshold``, padded to exactly ``post_nms_topk`` outputs.
+    Train/eval budgets follow the two-stage convention (SURVEY.md §2.4 N5:
+    larger pre-NMS pool during training, smaller at test time).
     """
     pre_nms_topk: int = 6000
     post_nms_topk: int = 1000
+    pre_nms_topk_eval: int = 2000
     nms_threshold: float = 0.7
     min_size: float = 4.0  # pixels; degenerate-proposal filter
 

@@ -1,0 +1,120 @@
+"""ctypes binding for the native C++ TFRecord/JPEG data loader.
+
+The reference fed its graph from TF's C++ runtime threads (SURVEY.md §3.1:
+"TFRecordDataset/provider -> decode Example -> jpeg decode (CPU host
+threads)"); here the equivalent native layer is
+``x_detector_tpu/native/xdet_loader.cc`` — a dependency-free threaded reader
+(TFRecord framing + CRC32C, protobuf wire parsing, libjpeg decode, bilinear
+canvas resize) built as ``libxdet_loader.so`` and driven through ctypes.
+
+Falls back cleanly (raises ImportError at construction) when the shared
+library has not been built; callers can then use data/tfrecord.py.
+Build: ``make -C x_detector_tpu/native`` (done automatically on first use).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libxdet_loader.so"))
+_ID_CAPACITY = 64
+
+_lib = None
+
+
+def _load_library(build_if_missing: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) and build_if_missing:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.xdet_loader_create.restype = ctypes.c_void_p
+    lib.xdet_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int]
+    lib.xdet_loader_next.restype = ctypes.c_int
+    lib.xdet_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_int]
+    lib.xdet_loader_destroy.restype = None
+    lib.xdet_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeLoader:
+    """Iterator of batches with the trainer schema (+ image_id, difficult)."""
+
+    def __init__(self, shard_paths: Sequence[str], canvas_size: int,
+                 max_gt: int, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, repeat: bool = True, num_threads: int = 4):
+        self._lib = _load_library()
+        self.canvas = canvas_size
+        self.max_gt = max_gt
+        self.batch = batch_size
+        paths = [p.encode() for p in shard_paths]
+        arr = (ctypes.c_char_p * len(paths))(*paths)
+        self._handle = self._lib.xdet_loader_create(
+            arr, len(paths), canvas_size, max_gt, batch_size,
+            int(shuffle), seed, int(repeat), num_threads)
+        assert self._handle, "native loader creation failed"
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        b, c, g = self.batch, self.canvas, self.max_gt
+        images = np.empty((b, c, c, 3), np.float32)
+        boxes = np.empty((b, g, 4), np.float32)
+        labels = np.empty((b, g), np.int32)
+        mask = np.empty((b, g), np.uint8)
+        difficult = np.empty((b, g), np.uint8)
+        ids = ctypes.create_string_buffer(b * _ID_CAPACITY)
+        n = self._lib.xdet_loader_next(
+            self._handle,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            difficult.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ids, _ID_CAPACITY)
+        if n == 0:
+            raise StopIteration
+        id_list = [
+            ids.raw[i * _ID_CAPACITY:(i + 1) * _ID_CAPACITY].split(b"\0")[0]
+            for i in range(n)]
+        return {
+            "image": images[:n], "gt_boxes": boxes[:n],
+            "gt_labels": labels[:n], "gt_mask": mask[:n].astype(bool),
+            "difficult": difficult[:n].astype(bool), "image_id": id_list,
+        }
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.xdet_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def native_available(build_if_missing: bool = False) -> bool:
+    try:
+        _load_library(build_if_missing)
+        return True
+    except Exception:
+        return False

@@ -9,33 +9,81 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
 
 
+class BatchNorm2D(nn.Module):
+    """Batch normalization tuned for TPU inference throughput.
+
+    Training: statistics in fp32 over (N, H, W) — numerically identical to
+    the standard formulation.  Inference: the running stats fold into a
+    single per-channel ``x * inv + bias`` affine evaluated in the compute
+    dtype, so XLA fuses it into the adjacent convolution's epilogue instead
+    of round-tripping the activation through fp32 HBM (the naive fp32-BN
+    path cost ~2x the backbone's whole HBM budget at 800px).
+    """
+    momentum: float = 0.997
+    epsilon: float = 1e-4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (c,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (c,), jnp.float32)
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=(0, 1, 2))
+            var = xf.var(axis=(0, 1, 2))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = gamma * jax.lax.rsqrt(var + self.epsilon)
+        bias = beta - mean * inv
+        return (x * inv.astype(x.dtype) + bias.astype(x.dtype))
+
+
 class ConvBN(nn.Module):
-    """Conv → BatchNorm → (optional) ReLU, the workhorse block."""
+    """Conv → BatchNorm → (optional) ReLU, the workhorse block.
+
+    ``padding="EXPLICIT"`` applies symmetric (k-1)//2 * dilation padding —
+    the slim ``conv2d_same`` / torch convention, which differs from XLA SAME
+    only at stride > 1 (SAME pads asymmetrically right/bottom).  Needed for
+    numerical parity with pretrained torchvision/slim checkpoints.
+    """
     features: int
     kernel: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
     relu: bool = True
     use_bn: bool = True
+    padding: Any = "SAME"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        padding = self.padding
+        if padding == "EXPLICIT":
+            padding = tuple(
+                ((k - 1) // 2 * d, (k - 1) // 2 * d)
+                for k, d in zip(self.kernel, self.dilation))
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    kernel_dilation=self.dilation, padding="SAME",
+                    kernel_dilation=self.dilation, padding=padding,
                     use_bias=not self.use_bn, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         if self.use_bn:
-            # BN in fp32 for stable statistics, output cast back to dtype.
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.997,
-                             epsilon=1e-4, dtype=jnp.float32)(
-                x.astype(jnp.float32)).astype(self.dtype)
+            x = BatchNorm2D(dtype=self.dtype, name="bn")(x, train)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -61,14 +109,15 @@ class SeparableConvBN(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.997,
-                         epsilon=1e-4, dtype=jnp.float32)(
-            x.astype(jnp.float32)).astype(self.dtype)
+        x = BatchNorm2D(dtype=self.dtype, name="bn")(x, train)
         if self.relu:
             x = nn.relu(x)
         return x
 
 
-def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2) -> jnp.ndarray:
+def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
+             explicit_pad: bool = False) -> jnp.ndarray:
+    pad = ([((window - 1) // 2, (window - 1) // 2)] * 2 if explicit_pad
+           else "SAME")
     return nn.max_pool(x, (window, window), strides=(stride, stride),
-                       padding="SAME")
+                       padding=pad)

@@ -84,6 +84,7 @@ def generate_proposals(
     anchors: jnp.ndarray,       # [A, 4]
     cfg: ProposalConfig,
     image_size: int,
+    training: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static proposal stage (N5). Returns (boxes [B,R,4], scores [B,R],
     valid [B,R]) with R = cfg.post_nms_topk."""
@@ -97,7 +98,8 @@ def generate_proposals(
             ((boxes[..., 3] - boxes[..., 1]) >= min_sz)
     scores = jnp.where(wh_ok, scores, 0.0)
 
-    k_pre = min(cfg.pre_nms_topk, num_anchors)
+    k_pre = min(cfg.pre_nms_topk if training else cfg.pre_nms_topk_eval,
+                num_anchors)
 
     def one_image(s, b):
         top_s, top_i = jax.lax.top_k(s, k_pre)
@@ -165,7 +167,7 @@ class LightHeadRCNN(nn.Module):
 
         props, prop_scores, prop_valid = generate_proposals(
             jax.lax.stop_gradient(rpn_cls), jax.lax.stop_gradient(rpn_loc),
-            anchors, cfg.proposals, cfg.image_size)
+            anchors, cfg.proposals, cfg.image_size, training=train)
 
         thin = self.thin_map(c5, train)                   # [B, h, w, 490]
         pooled = batched_psroi_align(

@@ -39,7 +39,8 @@ class Bottleneck(nn.Module):
                               name="proj")(x, train)
         y = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
         y = ConvBN(self.features, (3, 3), strides=self.strides,
-                   dilation=self.dilation, dtype=self.dtype)(y, train)
+                   dilation=self.dilation, padding="EXPLICIT",
+                   dtype=self.dtype)(y, train)
         y = ConvBN(out_features, (1, 1), relu=False, dtype=self.dtype)(y, train)
         return nn.relu(y + shortcut)
 
@@ -54,9 +55,9 @@ class ResNetV1(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
-        x = ConvBN(64, (7, 7), strides=(2, 2), dtype=self.dtype,
-                   name="stem")(x, train)
-        x = max_pool(x, 3, 2)                                  # stride 4
+        x = ConvBN(64, (7, 7), strides=(2, 2), padding="EXPLICIT",
+                   dtype=self.dtype, name="stem")(x, train)
+        x = max_pool(x, 3, 2, explicit_pad=True)               # stride 4
         feats: Dict[str, jnp.ndarray] = {}
         widths = (64, 128, 256, 512)
         for stage, (n_blocks, width) in enumerate(

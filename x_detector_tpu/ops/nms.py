@@ -131,9 +131,17 @@ def multiclass_nms(
     iou_threshold: float = 0.45,
     score_threshold: float = 0.01,
     per_class_topk: int = 100,
+    nms_candidates: int = 256,
 ) -> MulticlassNMSResult:
     """Per-class NMS then global top-k merge (reference eval semantics,
-    SURVEY.md §3.2: per class score filter -> NMS -> top-k)."""
+    SURVEY.md §3.2: per class score filter -> NMS -> top-k).
+
+    Each class is pre-filtered to its ``nms_candidates`` highest-scoring
+    boxes before suppression (the standard combined-NMS optimization: a box
+    outside the top candidates can only enter the final top-``per_class_topk``
+    if more candidates than ``nms_candidates - per_class_topk`` are
+    suppressed above it — negligible, and it cuts the serial tile count).
+    """
     num_classes = class_scores.shape[1]
     if boxes.ndim == 2:
         per_class_boxes = jnp.broadcast_to(
@@ -142,6 +150,9 @@ def multiclass_nms(
         per_class_boxes = boxes
 
     def one_class(cls_boxes, cls_scores):
+        if cls_scores.shape[0] > nms_candidates:
+            top_s, idx = jax.lax.top_k(cls_scores, nms_candidates)
+            cls_boxes, cls_scores = cls_boxes[idx], top_s
         return nms_padded(cls_boxes, cls_scores, per_class_topk,
                           iou_threshold, score_threshold)
 
@@ -170,8 +181,10 @@ def multiclass_nms(
 def batched_multiclass_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                            max_output: int, iou_threshold: float = 0.45,
                            score_threshold: float = 0.01,
-                           per_class_topk: int = 100) -> MulticlassNMSResult:
+                           per_class_topk: int = 100,
+                           nms_candidates: int = 256) -> MulticlassNMSResult:
     """vmap of :func:`multiclass_nms` over a leading batch dim."""
     fn = lambda b, s: multiclass_nms(b, s, max_output, iou_threshold,
-                                     score_threshold, per_class_topk)
+                                     score_threshold, per_class_topk,
+                                     nms_candidates)
     return jax.vmap(fn)(boxes, class_scores)

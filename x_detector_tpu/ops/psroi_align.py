@@ -107,31 +107,41 @@ def _interp_weights(coords: jnp.ndarray, extent: int) -> jnp.ndarray:
     return wgt.sum(axis=2)                        # collapse samples: [R, k, E]
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "samples"))
+@functools.partial(jax.jit, static_argnames=("grid", "samples", "precise"))
 def psroi_align(features: jnp.ndarray, rois: jnp.ndarray,
-                grid: int = 7, samples: int = 2) -> jnp.ndarray:
+                grid: int = 7, samples: int = 2,
+                precise: bool = False) -> jnp.ndarray:
     """Separable-einsum PSROIAlign. features [H, W, k*k*C] -> [R, k, k, C].
 
     MXU-friendly: two einsum contractions, ~R*k^2*H*W*C*2 FLOPs; backward is
-    the transposed einsums (deterministic, no atomics).
+    the transposed einsums (deterministic, no atomics).  By default the
+    contractions run in bf16 with fp32 accumulation (full MXU rate — the
+    interpolation weights are exactly representable to ~3 decimal digits and
+    the result feeds a bf16 head anyway); ``precise=True`` keeps fp32
+    operands for oracle comparison.
     """
     h, w, kkc = features.shape
     c = kkc // (grid * grid)
-    feat = features.reshape(h, w, grid, grid, c).astype(jnp.float32)
+    op_dtype = jnp.float32 if precise else jnp.bfloat16
+    feat = features.reshape(h, w, grid, grid, c).astype(op_dtype)
 
     ys = _sample_coords(rois.astype(jnp.float32), grid, samples, h, 0, 2)
     xs = _sample_coords(rois.astype(jnp.float32), grid, samples, w, 1, 3)
-    wy = _interp_weights(ys, h)                   # [R, k, H]
-    wx = _interp_weights(xs, w)                   # [R, k, W]
+    wy = _interp_weights(ys, h).astype(op_dtype)  # [R, k, H]
+    wx = _interp_weights(xs, w).astype(op_dtype)  # [R, k, W]
 
     # Contract rows then columns; channel group (i, j) rides along.
-    a = jnp.einsum("rip,pqijc->riqjc", wy, feat)  # [R, k, W, k, C]
-    out = jnp.einsum("rjq,riqjc->rijc", wx, a)    # [R, k, k, C]
+    a = jnp.einsum("rip,pqijc->riqjc", wy, feat,
+                   preferred_element_type=jnp.float32)  # [R, k, W, k, C]
+    out = jnp.einsum("rjq,riqjc->rijc", wx, a.astype(op_dtype),
+                     preferred_element_type=jnp.float32)
     return out / float(samples * samples)
 
 
 def batched_psroi_align(features: jnp.ndarray, rois: jnp.ndarray,
-                        grid: int = 7, samples: int = 2) -> jnp.ndarray:
+                        grid: int = 7, samples: int = 2,
+                        precise: bool = False) -> jnp.ndarray:
     """vmap over a batch: [B, H, W, k*k*C] x [B, R, 4] -> [B, R, k, k, C]."""
-    fn = functools.partial(psroi_align, grid=grid, samples=samples)
+    fn = functools.partial(psroi_align, grid=grid, samples=samples,
+                           precise=precise)
     return jax.vmap(fn)(features, rois)
