@@ -66,3 +66,36 @@ def test_ssd_batchnorm_mutable_train_mode():
         vars_, x, train=True, mutable=["batch_stats"])
     assert "batch_stats" in new_state
     assert np.isfinite(np.asarray(cls_logits)).all()
+
+
+def test_xdet_fusion_variant():
+    from x_detector_tpu.config import xdet_xception
+    cfg = xdet_xception(image_size=64).model
+    model = SSDModel(config=cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3)) * 0.1
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    cls_logits, box_codes = model.apply(vars_, x, train=False)
+    anchors = build_ssd_anchors(cfg)
+    assert cls_logits.shape == (2, anchors.shape[0], cfg.num_classes)
+    assert np.isfinite(np.asarray(cls_logits)).all()
+
+
+def test_xdet_trains():
+    import dataclasses
+    from x_detector_tpu.config import xdet_xception, DataConfig
+    from x_detector_tpu.train.trainer import (create_model_and_state,
+                                              make_train_step)
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import get_batch
+    base = xdet_xception(image_size=64)
+    cfg = dataclasses.replace(
+        base, data=DataConfig(image_size=64, max_gt_boxes=8),
+        train=dataclasses.replace(base.train, batch_size=2,
+                                  weight_decay=0.0))
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    step = jax.jit(make_train_step(model, cfg))
+    batch = get_batch(cfg)
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["total_loss"]))

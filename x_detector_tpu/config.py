@@ -104,6 +104,7 @@ class ModelConfig:
     roi_grid: int = 7
     head_dim: int = 2048
     class_agnostic_box: bool = True
+    fpn_fusion: bool = False              # X-Det-style top-down fusion (N7)
     anchors: AnchorConfig = AnchorConfig()
     ssd_anchors: SSDAnchorConfig = SSDAnchorConfig()
     proposals: ProposalConfig = ProposalConfig()
@@ -205,8 +206,23 @@ def ssd_resnet50(image_size: int = 512) -> ExperimentConfig:
     )
 
 
+def xdet_xception(image_size: int = 512) -> ExperimentConfig:
+    """X-Det-style single-shot variant: Xception-lite backbone + top-down
+    feature fusion (SURVEY.md §2.4 N7)."""
+    return ExperimentConfig(
+        model=ModelConfig(name="xdet_xception", backbone="xception_lite",
+                          family="ssd", image_size=image_size,
+                          fpn_fusion=True,
+                          nms=NMSConfig(iou_threshold=0.45,
+                                        score_threshold=0.01, max_output=200)),
+        data=DataConfig(image_size=image_size),
+        train=TrainConfig(batch_size=8),
+    )
+
+
 PRESETS = {
     "lighthead_resnet50": lighthead_resnet50,
     "lighthead_xception": lighthead_xception,
     "ssd_resnet50": ssd_resnet50,
+    "xdet_xception": xdet_xception,
 }

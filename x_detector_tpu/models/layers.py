@@ -26,7 +26,7 @@ class BatchNorm2D(nn.Module):
     of round-tripping the activation through fp32 HBM (the naive fp32-BN
     path cost ~2x the backbone's whole HBM budget at 800px).
     """
-    momentum: float = 0.997
+    momentum: float = 0.99
     epsilon: float = 1e-4
     dtype: Dtype = jnp.bfloat16
 

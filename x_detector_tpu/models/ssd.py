@@ -55,11 +55,16 @@ class SSDHead(nn.Module):
 
 
 class SSDModel(nn.Module):
-    """Backbone + extra layers + SSD head.
+    """Backbone + extra layers + (optional top-down fusion) + SSD head.
 
     ``__call__`` returns raw per-anchor (class_logits [B, N, C+1],
     box_codes [B, N, 4]) in anchor order matching
     :func:`x_detector_tpu.ops.anchors.ssd_anchors`.
+
+    With ``config.fpn_fusion`` this is the **X-Det-style** variant
+    (SURVEY.md §2.4 N7: the author's single-shot bodies with feature-fusion
+    tweaks): higher pyramid levels are upsampled (nearest, 2x) and fused
+    into lower ones through 1x1 lateral convs before the heads.
     """
     config: ModelConfig
     dtype: Dtype = jnp.bfloat16
@@ -72,8 +77,8 @@ class SSDModel(nn.Module):
             feats = ResNetV1(dilate_c5=False, dtype=self.dtype,
                              name="backbone")(images, train)
         elif cfg.backbone == "xception_lite":
-            feats = XceptionLite(dtype=self.dtype, name="backbone")(
-                images, train)
+            feats = XceptionLite(dilate_c5=False, dtype=self.dtype,
+                                 name="backbone")(images, train)
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
         pyramid = [feats["c3"], feats["c4"], feats["c5"]]
@@ -84,6 +89,24 @@ class SSDModel(nn.Module):
             x = ConvBN(512, (3, 3), strides=(2, 2), dtype=self.dtype,
                        name=f"extra{i}b")(x, train)
             pyramid.append(x)
+        if cfg.fpn_fusion:
+            # top-down: lateral 1x1 to a shared width, add 2x-upsampled upper
+            width = 256
+            laterals = [
+                ConvBN(width, (1, 1), dtype=self.dtype,
+                       name=f"lateral{i}")(f, train)
+                for i, f in enumerate(pyramid)]
+            for i in range(len(laterals) - 2, -1, -1):
+                up = laterals[i + 1]
+                b, h, w, c = up.shape
+                th, tw = laterals[i].shape[1:3]
+                up = jnp.repeat(jnp.repeat(up, 2, axis=1), 2, axis=2)
+                up = up[:, :th, :tw, :]
+                laterals[i] = laterals[i] + up
+            pyramid = [
+                ConvBN(width, (3, 3), dtype=self.dtype,
+                       name=f"fuse{i}")(f, train)
+                for i, f in enumerate(laterals)]
         cls_logits, box_codes = SSDHead(
             num_classes=cfg.num_classes,
             anchors_per_cell=cfg.ssd_anchors.anchors_per_cell,

@@ -53,10 +53,16 @@ class XceptionStage(nn.Module):
 
 
 class XceptionLite(nn.Module):
-    """Fast small backbone for Light-Head R-CNN (BASELINE config 3)."""
+    """Fast small backbone for Light-Head R-CNN (BASELINE config 3).
+
+    ``dilate_c5=True`` (two-stage use): stage4 runs at stride 16 with
+    dilation 2, mirroring the R-FCN idiom.  ``dilate_c5=False`` (single-shot
+    use): stage4 downsamples to stride 32 so the SSD pyramid strides line up.
+    """
     widths: Tuple[int, int, int, int] = (144, 288, 576, 1024)
     stem_width: int = 24
     units_per_stage: Tuple[int, int, int, int] = (2, 2, 2, 2)
+    dilate_c5: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -71,11 +77,16 @@ class XceptionLite(nn.Module):
                            dtype=self.dtype, name="stage2")(x, train)  # s8
         c4 = XceptionStage(self.widths[2], self.units_per_stage[2],
                            dtype=self.dtype, name="stage3")(c3, train)  # s16
-        c5 = XceptionStage(self.widths[3], self.units_per_stage[3],
-                           entry_stride=(1, 1), dilation=(2, 2),
-                           dtype=self.dtype, name="stage4")(c4, train)  # s16
+        if self.dilate_c5:
+            c5 = XceptionStage(self.widths[3], self.units_per_stage[3],
+                               entry_stride=(1, 1), dilation=(2, 2),
+                               dtype=self.dtype, name="stage4")(c4, train)
+        else:
+            c5 = XceptionStage(self.widths[3], self.units_per_stage[3],
+                               dtype=self.dtype, name="stage4")(c4, train)
         return {"c3": c3, "c4": c4, "c5": c5}
 
 
-def xception_lite(dtype: Dtype = jnp.bfloat16) -> XceptionLite:
-    return XceptionLite(dtype=dtype)
+def xception_lite(dtype: Dtype = jnp.bfloat16,
+                  dilate_c5: bool = True) -> XceptionLite:
+    return XceptionLite(dtype=dtype, dilate_c5=dilate_c5)
