@@ -117,3 +117,32 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(state.params)
     b = jax.tree_util.tree_leaves(restored.params)
     assert all(bool(np.allclose(x, y)) for x, y in zip(a, b))
+
+
+def test_ema_shadow_tracks_params():
+    import dataclasses
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    assert state.ema_params is not None
+    step_fn = jax.jit(make_train_step(model, cfg))
+    batch = get_batch(cfg)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    e0 = jax.tree_util.tree_leaves(state.ema_params)[0].copy()
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(e0))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    # ema = 0.9*old + 0.1*new
+    np.testing.assert_allclose(np.asarray(e1),
+                               0.9 * np.asarray(p0) + 0.1 * np.asarray(p1),
+                               atol=1e-6)
+
+
+def test_no_ema_by_default():
+    cfg = small_ssd_cfg()
+    _, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                      dtype=jnp.float32)
+    assert state.ema_params is None

@@ -157,6 +157,7 @@ class TrainConfig:
     # single-shot: hard-negative mining ratio neg:pos
     neg_pos_ratio: float = 3.0
     ssd_match_iou: float = 0.5
+    ema_decay: float = 0.0            # 0 disables the EMA shadow
     checkpoint_every: int = 1000
     keep_checkpoints: int = 5
     seed: int = 0

@@ -54,5 +54,8 @@ class CheckpointManager:
 
 def _strip_tx(state: TrainState) -> dict:
     """Serializable view: drop the (non-pytree) optimizer transformation."""
-    return {"step": state.step, "params": state.params,
-            "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    out = {"step": state.step, "params": state.params,
+           "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    if state.ema_params is not None:
+        out["ema_params"] = state.ema_params
+    return out

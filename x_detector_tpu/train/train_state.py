@@ -19,23 +19,35 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    ema_params: Any  # None, or EMA shadow of params (reference T5 EMA)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats=None) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
                                                 self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if self.ema_params is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                self.ema_params, new_params)
         return self.replace(
             step=self.step + 1,
             params=new_params,
             batch_stats=(new_batch_stats if new_batch_stats is not None
                          else self.batch_stats),
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
 
     @classmethod
-    def create(cls, params, batch_stats,
-               tx: optax.GradientTransformation) -> "TrainState":
+    def create(cls, params, batch_stats, tx: optax.GradientTransformation,
+               ema_decay: float = 0.0) -> "TrainState":
         import jax.numpy as jnp
+        ema = (jax.tree_util.tree_map(lambda p: p, params)
+               if ema_decay > 0 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   ema_params=ema, tx=tx, ema_decay=ema_decay)

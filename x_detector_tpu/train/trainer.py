@@ -170,7 +170,7 @@ def create_model_and_state(cfg: ExperimentConfig, rng: jax.Array,
     tx = make_optimizer(cfg.train)
     state = TrainState.create(params=variables["params"],
                               batch_stats=variables.get("batch_stats", {}),
-                              tx=tx)
+                              tx=tx, ema_decay=cfg.train.ema_decay)
     return model, state
 
 
