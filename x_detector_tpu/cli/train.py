@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files (scalar summaries)")
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
@@ -59,7 +61,9 @@ def main(argv=None):
     ckpt = CheckpointManager(os.path.join(args.model_dir, "ckpt"),
                              keep=cfg.train.keep_checkpoints)
     logger = MetricsLogger(os.path.join(args.model_dir, "metrics.jsonl"),
-                           echo_every=args.log_every)
+                           echo_every=args.log_every,
+                           tensorboard_dir=(os.path.join(args.model_dir, "tb")
+                                            if args.tensorboard else None))
 
     start_position = 0
     if args.resume and ckpt.latest_step() is not None:
