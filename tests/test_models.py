@@ -32,8 +32,8 @@ def test_xception_lite_shapes():
     x = jnp.zeros((2, 64, 64, 3))
     vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
     feats = model.apply(vars_, x, train=False)
-    assert feats["c3"].shape == (2, 8, 8, 288)
-    assert feats["c4"].shape == (2, 4, 4, 576)
+    assert feats["c3"].shape == (2, 8, 8, 256)
+    assert feats["c4"].shape == (2, 4, 4, 512)
     assert feats["c5"].shape == (2, 4, 4, 1024)
 
 
