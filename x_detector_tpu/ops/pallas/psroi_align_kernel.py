@@ -6,24 +6,25 @@ RoI-align pooling factorizes into separable triangular-kernel contractions
     out[r, i, j, c] = (1/S^2) * sum_p WY[r,i,p] * sum_q WX[r,j,q]
                                  * feat[p, q, (i*k+j), c]
 
-The XLA einsum implementation materializes the intermediate
-``A[r, i, q, j, c]`` (~= R*k*W*k*C floats per image) in HBM twice; this
-kernel keeps everything on-chip:
+The XLA einsum implementation materializes an ``[R, k, W, k, C]``
+intermediate in HBM twice; this kernel keeps everything on-chip and is built
+from Mosaic-friendly **2-D ops only** (no in-kernel reshapes/relayouts):
 
-  * the whole thin feature map (50x50x490 bf16 ~= 2.4 MB at 800px) sits in
-    VMEM for all grid steps;
-  * each grid step processes a block of BLOCK_R rois: interpolation weights
-    are built in-kernel with ``broadcasted_iota`` (no gather), the row
-    contraction is ONE MXU matmul ``[BLOCK_R*k, H] @ [H, W*k*k*C]``, and the
-    column contraction runs per (i, j) bin on statically-sliced sub-blocks
-    (the position-sensitive "diagonal" — bin (i, j) only reads channel group
-    i*k+j — is exploited by the slicing, not wasted FLOPs);
-  * output: [BLOCK_R, k, k, C] written per step.
+  * features arrive pre-arranged as ``[k*k, H, W*C]`` (one 2-D ``[H, W*C]``
+    slab per position-sensitive group) and sit whole in VMEM (~4.9 MB at
+    800 px);
+  * each grid step handles BLOCK_R rois; interpolation weights are built
+    in-kernel with integer ``broadcasted_iota``;
+  * per bin (i, j):  row contraction = one MXU matmul
+    ``[BLOCK_R, H] @ [H, W*C]``; the column contraction multiplies by the
+    column-expanded x-weights elementwise and reduces strided channels with
+    one constant 0/1 selector matmul ``[BLOCK_R, W*C] @ [W*C, C]``;
+  * output [BLOCK_R, k, k, C] written with static bin indices.
 
-Backward: expressed via ``jax.custom_vjp`` as the transposed contractions in
-plain XLA (deterministic, atomic-free — the reference's CUDA backward used
-``atomicAdd`` and was order-nondeterministic, SURVEY.md §5).  Gradients flow
-to ``features`` only (rois are detached, standard for detection).
+Backward: ``jax.custom_vjp`` with the transposed contractions in plain XLA —
+deterministic and atomic-free (the reference's CUDA backward used
+``atomicAdd``; SURVEY.md §5 commits to deleting that nondeterminism).
+Gradients flow to ``features`` only (rois are detached, standard).
 """
 
 from __future__ import annotations
@@ -32,54 +33,89 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from x_detector_tpu.ops.psroi_align import (_interp_weights, _sample_coords,
-                                            psroi_align)
+from x_detector_tpu.ops.psroi_align import _interp_weights, _sample_coords
 
-BLOCK_R = 8
+BLOCK_R = 128
 
 
-def _weights_in_kernel(lo, hi, grid: int, samples: int, extent: int):
-    """[BLOCK_R] lo/hi -> [BLOCK_R * grid, extent] interpolation weights.
+def _weights_in_kernel(lo, hi, grid: int, samples: int, extent: int,
+                       repeat: int = 1):
+    """[BLOCK_R] lo/hi -> [BLOCK_R, grid, extent * repeat] weights.
 
-    Mirrors _sample_coords + _interp_weights with iota-built pixel/sample
-    grids (TPU needs >= 2D iota).
+    With ``repeat > 1`` every weight is duplicated ``repeat`` times along
+    the last axis (column-expanded: w[..., q*repeat + c] = w[..., q]) so it
+    can multiply a ``[*, W*C]`` slab elementwise without any reshape.
     """
     br = lo.shape[0]
     span = (hi - lo) / grid                                   # [br]
-    cell = jax.lax.broadcasted_iota(jnp.float32, (br, grid, samples), 1)
-    sub = (jax.lax.broadcasted_iota(jnp.float32, (br, grid, samples), 2)
-           + 0.5) / samples
+    cell = jax.lax.broadcasted_iota(
+        jnp.int32, (br, grid, samples), 1).astype(jnp.float32)
+    sub = (jax.lax.broadcasted_iota(
+        jnp.int32, (br, grid, samples), 2).astype(jnp.float32)
+        + 0.5) / samples
     norm = lo[:, None, None] + (cell + sub) * span[:, None, None]
     px = jnp.clip(norm * extent - 0.5, 0.0, extent - 1.0)     # [br, g, S]
-    pix = jax.lax.broadcasted_iota(jnp.float32,
-                                   (br, grid, samples, extent), 3)
+    pix = (jax.lax.broadcasted_iota(
+        jnp.int32, (br, grid, samples, extent * repeat), 3) // repeat
+    ).astype(jnp.float32)
     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pix - px[..., None]))
-    return wgt.sum(axis=2).reshape(br * grid, extent)         # [br*g, E]
+    return wgt.sum(axis=2)                                    # [br, g, E*rep]
 
 
-def _psroi_kernel(rois_ref, feat_ref, out_ref, *, grid: int, samples: int,
-                  channels: int, height: int, width: int):
+def _sample_px(lo, hi, grid: int, samples: int, extent: int):
+    """[BLOCK_R] lo/hi -> clamped continuous pixel coords [br, grid, S]."""
+    br = lo.shape[0]
+    span = (hi - lo) / grid
+    cell = jax.lax.broadcasted_iota(
+        jnp.int32, (br, grid, samples), 1).astype(jnp.float32)
+    sub = (jax.lax.broadcasted_iota(
+        jnp.int32, (br, grid, samples), 2).astype(jnp.float32)
+        + 0.5) / samples
+    norm = lo[:, None, None] + (cell + sub) * span[:, None, None]
+    return jnp.clip(norm * extent - 0.5, 0.0, extent - 1.0)
+
+
+def _expand_weights_one_bin(px_j, extent: int, repeat: int):
+    """px_j [br, S] -> column-expanded weights [br, extent*repeat]."""
+    br, samples = px_j.shape
+    pix = (jax.lax.broadcasted_iota(
+        jnp.int32, (br, samples, extent * repeat), 2) // repeat
+    ).astype(jnp.float32)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pix - px_j[..., None]))
+    return wgt.sum(axis=1)
+
+
+def _psroi_kernel(rois_ref, feat_ref, sel_ref, out_ref, *, grid: int,
+                  samples: int, channels: int, height: int, width: int):
+    """One grid step = BLOCK_R rois.  Per row-bin i: ONE MXU matmul against
+    the concatenation of that row's ``grid`` column-bin slabs
+    ([H, grid*W*C]), then elementwise x-weights and one selector matmul that
+    reduces over both q and j at once."""
     rois = rois_ref[:]                                        # [BLOCK_R, 4]
     wy = _weights_in_kernel(rois[:, 0], rois[:, 2], grid, samples, height)
-    wx = _weights_in_kernel(rois[:, 1], rois[:, 3], grid, samples, width)
-
-    feat2d = feat_ref[:].reshape(height, width * grid * grid * channels)
-    # Row contraction on the MXU: [BLOCK_R*grid, H] @ [H, W*k*k*C]
-    a = jax.lax.dot(wy.astype(feat2d.dtype), feat2d,
-                    preferred_element_type=jnp.float32)
-    a = a.reshape(BLOCK_R, grid, width, grid * grid, channels)
-
+    px_x = _sample_px(rois[:, 1], rois[:, 3], grid, samples, width)
+    sel = sel_ref[:]                                          # [g*W*C, g*C]
     inv = 1.0 / float(samples * samples)
+    wc = width * channels
     for i in range(grid):
-        for j in range(grid):
-            # position-sensitive diagonal: bin (i, j) reads group i*grid+j
-            a_bin = a[:, i, :, i * grid + j, :]               # [br, W, C]
-            wx_bin = wx.reshape(BLOCK_R, grid, width)[:, j, :]  # [br, W]
-            pooled = jnp.sum(a_bin * wx_bin[:, :, None], axis=1) * inv
-            out_ref[:, i, j, :] = pooled.astype(out_ref.dtype)
+        wy_i = wy[:, i, :]                                    # [br, H]
+        slab_row = feat_ref[i]                                # [H, g*W*C]
+        a = jax.lax.dot(wy_i, slab_row,
+                        preferred_element_type=jnp.float32)   # [br, g*W*C]
+        # x-weights expanded one column-bin at a time (bounds VMEM):
+        m_parts = [
+            a[:, j * wc:(j + 1) * wc] *
+            _expand_weights_one_bin(px_x[:, j, :], width, channels)
+            for j in range(grid)]
+        m = jnp.concatenate(m_parts, axis=1)                  # [br, g*W*C]
+        pooled = jax.lax.dot(m, sel,
+                             preferred_element_type=jnp.float32) * inv
+        for j in range(grid):                                 # [br, g*C]
+            out_ref[:, i, j, :] = pooled[:, j * channels:(j + 1) * channels]
 
 
 def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
@@ -87,25 +123,41 @@ def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
     h, w, kkc = features.shape
     c = kkc // (grid * grid)
     r = rois.shape[0]
-    assert r % BLOCK_R == 0, f"roi count {r} must be a multiple of {BLOCK_R}"
-    feat = features.reshape(h, w, grid * grid, c)
+    pad = (-r) % BLOCK_R
+    if pad:
+        rois = jnp.concatenate(
+            [rois, jnp.zeros((pad, 4), rois.dtype)], axis=0)
+    rp = r + pad
+
+    # [H, W, k(i)*k(j), C] -> [k(i), H, k(j)*W*C] row slabs (one XLA
+    # transpose, outside the kernel).
+    feat = (features.reshape(h, w, grid, grid, c)
+            .transpose(2, 0, 3, 1, 4).reshape(grid, h, grid * w * c)
+            .astype(jnp.float32))
+    # constant selector reducing q (stride C) within each j block:
+    # sel[j*W*C + q*C + c0, j*C + c] = (c0 == c)
+    sel = jnp.asarray(np.kron(np.eye(grid, dtype=np.float32),
+                              np.tile(np.eye(c, dtype=np.float32), (w, 1))))
 
     kernel = functools.partial(_psroi_kernel, grid=grid, samples=samples,
                                channels=c, height=h, width=w)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(r // BLOCK_R,),
+        grid=(rp // BLOCK_R,),
         in_specs=[
             pl.BlockSpec((BLOCK_R, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w, grid * grid, c), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((grid, h, grid * w * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid * w * c, grid * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK_R, grid, grid, c),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, grid, grid, c), jnp.float32),
-    )(rois.astype(jnp.float32), feat)
+        out_shape=jax.ShapeDtypeStruct((rp, grid, grid, c), jnp.float32),
+    )(rois.astype(jnp.float32), feat, sel)
+    return out[:r] if pad else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -122,14 +174,12 @@ def _fwd(features, rois, grid, samples):
 def _bwd(grid, samples, res, g):
     features, rois = res
     h, w, kkc = features.shape
-    c = kkc // (grid * grid)
     ys = _sample_coords(rois.astype(jnp.float32), grid, samples, h, 0, 2)
     xs = _sample_coords(rois.astype(jnp.float32), grid, samples, w, 1, 3)
     wy = _interp_weights(ys, h)                               # [R, k, H]
     wx = _interp_weights(xs, w)                               # [R, k, W]
     scale = 1.0 / float(samples * samples)
     # d feat[p,q,(i,j),c] = sum_r wy[r,i,p] * wx[r,j,q] * g[r,i,j,c]
-    # (each channel group (i, j) receives only from its own bin)
     gw2 = jnp.einsum("rijc,rjq->rijqc", g.astype(jnp.float32), wx)
     dfeat_full = jnp.einsum("rip,rijqc->pqijc", wy, gw2) * scale
     dfeat_full = dfeat_full.reshape(h, w, kkc).astype(features.dtype)
