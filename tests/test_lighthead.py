@@ -17,6 +17,8 @@ def tiny_config(backbone="resnet50"):
         name=f"tiny_{backbone}", backbone=backbone, family="lighthead",
         image_size=64,
         proposals=ProposalConfig(pre_nms_topk=128, post_nms_topk=32,
+                                 pre_nms_topk_eval=128,
+                                 post_nms_topk_eval=32,
                                  nms_threshold=0.7, min_size=2.0),
         nms=NMSConfig(max_output=20, score_threshold=0.01),
         large_sep_mid=16,

@@ -29,7 +29,8 @@ def small_lighthead_cfg():
         name="tiny_lh", backbone="xception_lite", family="lighthead",
         image_size=64, large_sep_mid=16, head_dim=64,
         proposals=ProposalConfig(pre_nms_topk=128, post_nms_topk=32,
-                                 min_size=2.0),
+                                 pre_nms_topk_eval=128,
+                                 post_nms_topk_eval=32, min_size=2.0),
         nms=NMSConfig(max_output=20))
     return ExperimentConfig(
         model=model,

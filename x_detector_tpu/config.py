@@ -84,7 +84,8 @@ class ProposalConfig:
     """
     pre_nms_topk: int = 6000
     post_nms_topk: int = 1000
-    pre_nms_topk_eval: int = 2000
+    pre_nms_topk_eval: int = 1000
+    post_nms_topk_eval: int = 512
     nms_threshold: float = 0.7
     min_size: float = 4.0  # pixels; degenerate-proposal filter
 
@@ -102,6 +103,7 @@ class ModelConfig:
     large_sep_kernel: int = 15
     large_sep_mid: int = 256              # 64 small / 256 large variant
     roi_grid: int = 7
+    rpn_mid: int = 256
     head_dim: int = 2048
     class_agnostic_box: bool = True
     fpn_fusion: bool = False              # X-Det-style top-down fusion (N7)

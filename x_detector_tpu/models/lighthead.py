@@ -87,7 +87,7 @@ def generate_proposals(
     training: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static proposal stage (N5). Returns (boxes [B,R,4], scores [B,R],
-    valid [B,R]) with R = cfg.post_nms_topk."""
+    valid [B,R]) with R = post_nms_topk (train) or post_nms_topk_eval."""
     num_anchors = rpn_cls.shape[1]
     scores = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]           # [B, A]
     boxes = box_ops.decode(rpn_loc, anchors[None])              # [B, A, 4]
@@ -100,10 +100,11 @@ def generate_proposals(
 
     k_pre = min(cfg.pre_nms_topk if training else cfg.pre_nms_topk_eval,
                 num_anchors)
+    k_post = cfg.post_nms_topk if training else cfg.post_nms_topk_eval
 
     def one_image(s, b):
         top_s, top_i = jax.lax.top_k(s, k_pre)
-        res = nms_lib.nms_padded(b[top_i], top_s, cfg.post_nms_topk,
+        res = nms_lib.nms_padded(b[top_i], top_s, k_post,
                                  iou_threshold=cfg.nms_threshold,
                                  score_threshold=0.0)
         return res.boxes, res.scores, res.valid
@@ -146,7 +147,7 @@ class LightHeadRCNN(nn.Module):
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.rpn = RPNHead(num_anchors=cfg.anchors.num_anchors,
-                           dtype=self.dtype)
+                           mid=cfg.rpn_mid, dtype=self.dtype)
         self.thin_map = LargeSeparableConv(
             mid=cfg.large_sep_mid, out=cfg.thin_channels,
             k=cfg.large_sep_kernel, dtype=self.dtype)
