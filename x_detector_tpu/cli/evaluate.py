@@ -48,6 +48,44 @@ def build_eval_fn(model, cfg):
     return fn
 
 
+def run_eval(model, variables, cfg, batch_iter, num_batches: int,
+             eval_fn=None, use_07_metric: bool = True) -> dict:
+    """Evaluate mAP over up to ``num_batches`` from ``batch_iter``.
+
+    Reusable core shared by the eval CLI and the train loop's periodic
+    evaluation.  Returns the VOCEvaluator result dict.
+    """
+    if eval_fn is None:
+        eval_fn = build_eval_fn(model, cfg)
+    preprocess = jax.jit(jax.vmap(
+        lambda im: preprocess_for_eval(im, cfg.data)))
+    ev = VOCEvaluator(num_classes=cfg.model.num_classes - 1,
+                      use_07_metric=use_07_metric)
+    for bi in range(num_batches):
+        try:
+            raw = next(batch_iter)
+        except StopIteration:
+            break
+        images = preprocess(jnp.asarray(raw["image"]))
+        boxes, scores, classes, valid = map(
+            np.asarray, eval_fn(variables, images))
+        for i in range(images.shape[0]):
+            if "image_id" in raw:
+                iid = raw["image_id"][i]
+                image_id = iid.decode() if isinstance(iid, bytes) else str(iid)
+            else:
+                image_id = f"b{bi}_i{i}"
+            m = np.asarray(raw["gt_mask"][i])
+            diff = (np.asarray(raw["difficult"][i])[m]
+                    if "difficult" in raw else None)
+            ev.add_ground_truth(image_id, np.asarray(raw["gt_boxes"][i])[m],
+                                np.asarray(raw["gt_labels"][i])[m], diff)
+            v = valid[i]
+            ev.add_detections(image_id, boxes[i][v], scores[i][v],
+                              classes[i][v])
+    return ev.evaluate()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
@@ -71,35 +109,9 @@ def main(argv=None):
     ckpt.close()
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    eval_fn = build_eval_fn(model, cfg)
-    preprocess = jax.jit(jax.vmap(
-        lambda im: preprocess_for_eval(im, cfg.data)))
-
-    ev = VOCEvaluator(num_classes=cfg.model.num_classes - 1,
-                      use_07_metric=args.use_07_metric)
     it = common.batch_iterator(args, cfg, training=False)
-    for bi in range(args.num_batches):
-        try:
-            raw = next(it)
-        except StopIteration:
-            break
-        images = preprocess(jnp.asarray(raw["image"]))
-        boxes, scores, classes, valid = eval_fn(variables, images)
-        boxes, scores, classes, valid = map(
-            np.asarray, (boxes, scores, classes, valid))
-        bsz = images.shape[0]
-        for i in range(bsz):
-            image_id = (raw["image_id"][i].decode()
-                        if "image_id" in raw else f"b{bi}_i{i}")
-            m = np.asarray(raw["gt_mask"][i])
-            diff = (np.asarray(raw["difficult"][i])[m]
-                    if "difficult" in raw else None)
-            ev.add_ground_truth(image_id, np.asarray(raw["gt_boxes"][i])[m],
-                                np.asarray(raw["gt_labels"][i])[m], diff)
-            v = valid[i]
-            ev.add_detections(image_id, boxes[i][v], scores[i][v],
-                              classes[i][v])
-    res = ev.evaluate()
+    res = run_eval(model, variables, cfg, it, args.num_batches,
+                   use_07_metric=args.use_07_metric)
     print(f"mAP: {res['mAP']:.4f}")
     for cls, ap in sorted(res["per_class_ap"].items()):
         print(f"  class {cls:2d}: AP {ap:.4f}")

@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files (scalar summaries)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run VOC mAP eval every N steps (0 = off)")
+    p.add_argument("--eval-batches", type=int, default=20)
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
@@ -96,6 +99,14 @@ def main(argv=None):
         state, metrics = step_fn(state, batch, step_key)
         step = int(state.step)
         logger.log(step, metrics)
+        if args.eval_every and step % args.eval_every == 0:
+            from x_detector_tpu.cli.evaluate import run_eval
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            eval_it = common.batch_iterator(args, cfg, training=False)
+            res = run_eval(model, variables, cfg, eval_it,
+                           args.eval_batches)
+            logger.log(step, {"eval_mAP": res["mAP"]})
         if step % args.checkpoint_every == 0 or step >= args.steps:
             ckpt.save(step, state, data_state={"position": position})
     ckpt.wait()
