@@ -42,8 +42,7 @@ def main():
 
     from x_detector_tpu.config import lighthead_resnet50
     from x_detector_tpu.data.augment import preprocess_for_eval
-    from x_detector_tpu.models.lighthead import (LightHeadRCNN,
-                                                 lighthead_postprocess)
+    from x_detector_tpu.models.lighthead import lighthead_postprocess
     from x_detector_tpu.train.checkpoint import CheckpointManager
     from x_detector_tpu.train.trainer import create_model_and_state
 

@@ -6,8 +6,6 @@ import argparse
 import dataclasses
 from typing import Dict, Iterator, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from x_detector_tpu.config import PRESETS, ExperimentConfig

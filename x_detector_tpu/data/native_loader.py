@@ -17,7 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ which XLA maps onto the MXU; batch-norm statistics stay fp32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple, Union
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,11 +11,7 @@ the global batch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from x_detector_tpu.config import ExperimentConfig

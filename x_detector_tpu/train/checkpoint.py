@@ -9,9 +9,8 @@ stats, and the data-iterator position so training resumes deterministically.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from x_detector_tpu.train.train_state import TrainState

@@ -13,7 +13,7 @@ Pure numpy, host-side (evaluation is not a jit surface).
 from __future__ import annotations
 
 import collections
-from typing import Dict, List, Mapping, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
