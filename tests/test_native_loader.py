@@ -68,7 +68,10 @@ def test_native_shuffle_and_repeat(records):
     ids, meta, paths = records
     loader = NativeLoader(paths, canvas_size=32, max_gt=10, batch_size=4,
                           shuffle=True, seed=1, repeat=True, num_threads=2)
-    batches = [next(loader) for _ in range(5)]  # 20 examples > 6 => repeats
+    # Workers own disjoint shards and flush per epoch, so short horizons are
+    # bursty (one worker can lead by several tiny epochs at startup); a
+    # longer horizon must cover every shard's ids.
+    batches = [next(loader) for _ in range(20)]  # 80 examples
     loader.close()
     seen = set()
     for b in batches:
