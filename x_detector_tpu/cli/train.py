@@ -85,11 +85,24 @@ def main(argv=None):
 
     aug_rng = jax.random.PRNGKey(args.seed + 1)
     position = start_position
-    while int(state.step) < args.steps:
+
+    # Host-side prefetch: load/generate the next batch while the device
+    # steps (the device dispatch is async; the host loader was the
+    # bottleneck otherwise).
+    import concurrent.futures
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def fetch():
         raw = next(it)
+        return {k: jnp.asarray(v) for k, v in raw.items()
+                if k in ("image", "gt_boxes", "gt_labels", "gt_mask")}
+
+    pending = pool.submit(fetch)
+    step = int(state.step)
+    while step < args.steps:
+        raw = pending.result()
+        pending = pool.submit(fetch)
         position += 1
-        raw = {k: jnp.asarray(v) for k, v in raw.items()
-               if k in ("image", "gt_boxes", "gt_labels", "gt_mask")}
         aug_key = jax.random.fold_in(aug_rng, position)
         batch = preprocess_batch_for_train(aug_key, raw, cfg.data)
         if mesh is not None:
@@ -97,8 +110,11 @@ def main(argv=None):
         step_key = jax.random.fold_in(jax.random.PRNGKey(args.seed + 2),
                                       position)
         state, metrics = step_fn(state, batch, step_key)
-        step = int(state.step)
-        logger.log(step, metrics)
+        step += 1  # tracked host-side; reading state.step would force a sync
+        # Materializing metrics forces a device sync — only do it when a
+        # record is actually written.
+        if step % args.log_every == 0 or step >= args.steps:
+            logger.log(step, metrics)
         if args.eval_every and step % args.eval_every == 0:
             from x_detector_tpu.cli.evaluate import run_eval
             variables = {"params": state.params,
@@ -109,6 +125,7 @@ def main(argv=None):
             logger.log(step, {"eval_mAP": res["mAP"]})
         if step % args.checkpoint_every == 0 or step >= args.steps:
             ckpt.save(step, state, data_state={"position": position})
+    pool.shutdown(wait=False, cancel_futures=True)
     ckpt.wait()
     ckpt.close()
     logger.close()

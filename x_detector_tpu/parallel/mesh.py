@@ -52,8 +52,19 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, sharded on the leading axis."""
+    """Place a host batch dict onto the mesh, sharded on the leading axis.
+
+    Single-host: a straight ``device_put`` with the batch sharding.
+    Multi-host (``jax.process_count() > 1``): each host holds only its local
+    slice of the global batch; ``make_array_from_process_local_data``
+    assembles the logical global array without any cross-host copy (data
+    stays on the host that loaded it — DCN only carries gradients).
+    """
     sharding = batch_sharded(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
