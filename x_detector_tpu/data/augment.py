@@ -52,8 +52,8 @@ def sample_distorted_box(key: jax.Array, gt_boxes: jnp.ndarray,
     n = cfg.crop_attempts
     k_aspect, k_area, k_y, k_x = jax.random.split(key, 4)
     lo_a, hi_a = cfg.aspect_ratio_range
-    aspect = jnp.exp(jax.random.uniform(
-        k_aspect, (n,), minval=jnp.log(lo_a), maxval=jnp.log(hi_a)))
+    # TF samples the aspect ratio uniformly in [min, max] (not log-uniform).
+    aspect = jax.random.uniform(k_aspect, (n,), minval=lo_a, maxval=hi_a)
     area = jax.random.uniform(k_area, (n,), minval=cfg.area_range[0],
                               maxval=cfg.area_range[1])
     # h * w = area, w / h = aspect  =>  h = sqrt(area/aspect)
