@@ -107,3 +107,20 @@ def test_generate_proposals_min_size_filter():
     _, _, valid = generate_proposals(rpn_cls, rpn_loc, anchors, cfg,
                                      image_size=100)
     assert int(valid.sum()) == 1
+
+
+def test_proposal_budgets_train_vs_eval():
+    cfg = ProposalConfig(pre_nms_topk=64, post_nms_topk=16,
+                         pre_nms_topk_eval=32, post_nms_topk_eval=8,
+                         min_size=0.0)
+    anchors = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (100, 4)).astype(np.float32))
+    anchors = jnp.sort(anchors.reshape(100, 2, 2), axis=1).reshape(100, 4)
+    rpn_cls = jnp.zeros((1, 100, 2))
+    rpn_loc = jnp.zeros((1, 100, 4))
+    b_tr, _, _ = generate_proposals(rpn_cls, rpn_loc, anchors, cfg, 100,
+                                    training=True)
+    b_ev, _, _ = generate_proposals(rpn_cls, rpn_loc, anchors, cfg, 100,
+                                    training=False)
+    assert b_tr.shape == (1, 16, 4)
+    assert b_ev.shape == (1, 8, 4)

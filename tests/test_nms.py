@@ -119,3 +119,22 @@ def test_batched_multiclass_nms_shapes(rng):
     assert res.scores.shape == (B, 20)
     assert res.classes.shape == (B, 20)
     assert res.valid.shape == (B, 20)
+
+
+def test_candidate_prefilter_matches_full_nms(rng):
+    """With nms_candidates >= the survivor horizon, the prefiltered result
+    equals NMS over all boxes."""
+    boxes, scores = random_cluttered_boxes(rng, 400)
+    class_scores = jnp.stack([jnp.asarray(scores),
+                              jnp.asarray(scores[::-1].copy())], axis=1)
+    full = N.multiclass_nms(jnp.asarray(boxes), class_scores, max_output=30,
+                            iou_threshold=0.5, score_threshold=0.05,
+                            per_class_topk=30, nms_candidates=400)
+    pre = N.multiclass_nms(jnp.asarray(boxes), class_scores, max_output=30,
+                           iou_threshold=0.5, score_threshold=0.05,
+                           per_class_topk=30, nms_candidates=256)
+    np.testing.assert_allclose(np.asarray(full.scores),
+                               np.asarray(pre.scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.boxes),
+                               np.asarray(pre.boxes), atol=1e-6)
+    assert (np.asarray(full.classes) == np.asarray(pre.classes)).all()
