@@ -91,7 +91,9 @@ def main(argv=None):
     common.add_common_args(p)
     p.add_argument("--num-batches", type=int, default=50,
                    help="eval batches (synthetic) / cap (tfrecord)")
-    p.add_argument("--use-07-metric", action="store_true", default=True)
+    p.add_argument("--use-07-metric", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="11-point VOC07 AP (--no-use-07-metric selects continuous AP)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     args = p.parse_args(argv)

@@ -98,6 +98,7 @@ def main(argv=None):
                 if k in ("image", "gt_boxes", "gt_labels", "gt_mask")}
 
     pending = pool.submit(fetch)
+    eval_fn = None
     step = int(state.step)
     while step < args.steps:
         raw = pending.result()
@@ -116,12 +117,14 @@ def main(argv=None):
         if step % args.log_every == 0 or step >= args.steps:
             logger.log(step, metrics)
         if args.eval_every and step % args.eval_every == 0:
-            from x_detector_tpu.cli.evaluate import run_eval
+            from x_detector_tpu.cli.evaluate import build_eval_fn, run_eval
+            if eval_fn is None:  # build (and jit) once, reuse across evals
+                eval_fn = build_eval_fn(model, cfg)
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             eval_it = common.batch_iterator(args, cfg, training=False)
             res = run_eval(model, variables, cfg, eval_it,
-                           args.eval_batches)
+                           args.eval_batches, eval_fn=eval_fn)
             logger.log(step, {"eval_mAP": res["mAP"]})
         if step % args.checkpoint_every == 0 or step >= args.steps:
             ckpt.save(step, state, data_state={"position": position})

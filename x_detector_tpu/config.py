@@ -123,6 +123,7 @@ class DataConfig:
     max_gt_boxes: int = 100               # static pad for per-image gt
     # distorted-bbox crop (P1)
     min_object_covered: float = 0.25
+    box_keep_coverage: float = 0.25   # drop gt whose crop coverage is below
     aspect_ratio_range: Tuple[float, float] = (0.5, 2.0)
     area_range: Tuple[float, float] = (0.1, 1.0)
     crop_attempts: int = 50

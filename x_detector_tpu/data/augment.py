@@ -11,7 +11,11 @@ Key reconstructions:
     fixed ``attempts``-trial vmap'd sampler — each trial draws (aspect, area,
     offset), checks the ``min_object_covered`` constraint against the gt
     boxes, and the first valid trial wins; all-invalid falls back to the
-    whole image (TF semantics, SURVEY.md §7 hard part 3).
+    whole image (TF semantics, SURVEY.md §7 hard part 3).  NOTE: crops are
+    sampled on the square host canvas, so for non-square source images the
+    aspect/area constraints act in canvas space, not original-pixel space —
+    a deliberate divergence tied to the square-input design (DESIGN.md §10);
+    revisit together with letterbox preprocessing.
   * **Crop+resize**: separable triangular-kernel interpolation expressed as
     two dense contractions (same machinery as PSROIAlign) — lowers onto the
     MXU instead of a gather.
@@ -205,7 +209,8 @@ def preprocess_for_train(key: jax.Array, image: jnp.ndarray,
     k_crop, k_color, k_flip = jax.random.split(key, 3)
 
     crop = sample_distorted_box(k_crop, gt_boxes, gt_mask, cfg)
-    new_boxes, new_mask = transform_boxes_to_crop(gt_boxes, gt_mask, crop)
+    new_boxes, new_mask = transform_boxes_to_crop(
+        gt_boxes, gt_mask, crop, min_center_coverage=cfg.box_keep_coverage)
     img = crop_and_resize(image, crop, cfg.image_size)         # [S, S, 3]
 
     img = distort_color(k_color, img / 255.0, cfg) * 255.0

@@ -29,6 +29,9 @@ def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/r, W/r, r*r*C] (TPU-friendly stem trick: turns
     the K=3-starved first convolution into an MXU-shaped one)."""
     b, h, w, c = x.shape
+    assert h % r == 0 and w % r == 0, (
+        f"XceptionLite requires image sides divisible by {r} "
+        f"(space-to-depth stem); got {h}x{w}")
     x = x.reshape(b, h // r, r, w // r, r, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r,
                                                  r * r * c)

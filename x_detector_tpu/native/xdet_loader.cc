@@ -18,6 +18,7 @@
 //
 // Build: make -C x_detector_tpu/native   (produces libxdet_loader.so)
 
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -262,17 +263,31 @@ bool ParseExample(const uint8_t* data, size_t n, ParsedExample* ex) {
 // JPEG decode + bilinear resize.
 // ---------------------------------------------------------------------------
 
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void JpegErrorExit(j_common_ptr cinfo) {
+  // libjpeg's default error_exit calls exit(); longjmp back so one corrupt
+  // image is skipped instead of killing the training process.
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
 bool DecodeJpeg(const std::string& bytes, std::vector<uint8_t>* rgb,
                 int* width, int* height) {
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
-  // libjpeg's default error handler exit()s; install longjmp-free guard by
-  // overriding error_exit to throw via setjmp is classic — keep it simple
-  // and robust: validate the SOI marker first, rely on libjpeg for the rest.
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = JpegErrorExit;
   if (bytes.size() < 4 || uint8_t(bytes[0]) != 0xFF ||
       uint8_t(bytes[1]) != 0xD8)
     return false;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, reinterpret_cast<const unsigned char*>(bytes.data()),
                bytes.size());
@@ -349,7 +364,12 @@ struct Loader {
   std::vector<std::thread> workers;
 
   ~Loader() {
-    stop = true;
+    {
+      // Flag under the mutex so a thread between predicate check and
+      // wait() cannot miss the wakeup.
+      std::lock_guard<std::mutex> lock(mu);
+      stop = true;
+    }
     cv_can_push.notify_all();
     cv_can_pop.notify_all();
     for (auto& t : workers)
@@ -468,7 +488,10 @@ void WorkerMain(Loader* L, int worker_id) {
     }
   }
   if (--L->active_workers == 0) {
-    L->done = true;
+    {
+      std::lock_guard<std::mutex> lock(L->mu);
+      L->done = true;
+    }
     L->cv_can_pop.notify_all();
   }
 }

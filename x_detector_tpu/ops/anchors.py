@@ -15,7 +15,7 @@ grid is a compile-time constant folded into the jitted graph.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -33,9 +33,11 @@ def rpn_anchors(image_size: int, config: AnchorConfig) -> np.ndarray:
     """Dense RPN anchor grid, [H/stride * W/stride * A, 4] normalized corners.
 
     Scales are in **pixels** of the input image (paper spec: areas 32^2..512^2
-    at ratios 0.5/1/2); they are normalized by ``image_size`` here.
+    at ratios 0.5/1/2); they are normalized by ``image_size`` here.  The grid
+    side uses ceil to match SAME-padded stride-2 convolution output sizes for
+    image sizes not divisible by the stride.
     """
-    feat = image_size // config.stride
+    feat = -(-image_size // config.stride)
     cy, cx = _grid_centers(feat, feat)           # [F, F] each
     shapes = []
     for s in config.scales:
@@ -50,11 +52,6 @@ def rpn_anchors(image_size: int, config: AnchorConfig) -> np.ndarray:
     w = hw[None, None, :, 1]
     boxes = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], axis=-1)
     return boxes.reshape(-1, 4)                  # [F*F*A, 4]
-
-
-def ssd_layer_shapes(image_size: int, strides: Sequence[int]) -> List[int]:
-    """Square feature-map side length per SSD layer."""
-    return [int(math.ceil(image_size / s)) for s in strides]
 
 
 def ssd_anchors(image_size: int, config: SSDAnchorConfig) -> np.ndarray:

@@ -26,9 +26,10 @@ class CheckpointManager:
 
     def save(self, step: int, state: TrainState,
              data_state: Optional[dict] = None) -> None:
-        payload = {"state": _strip_tx(state)}
-        if data_state is not None:
-            payload["data_state"] = data_state
+        # data_state is always present in the payload so restore()'s
+        # template matches regardless of how save() was called.
+        payload = {"state": _strip_tx(state),
+                   "data_state": data_state or {"position": 0}}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore(self, state: TrainState,

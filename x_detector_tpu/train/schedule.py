@@ -18,16 +18,23 @@ def piecewise_with_warmup(base_lr: float, boundaries: Sequence[int],
                           warmup_steps: int = 0) -> optax.Schedule:
     assert len(decays) == len(boundaries) + 1
 
-    piecewise = optax.piecewise_constant_schedule(
-        init_value=base_lr,
-        boundaries_and_scales={int(b): decays[i + 1] / decays[i]
-                               for i, b in enumerate(boundaries)})
+    def make_piecewise(offset: int):
+        # join_schedules passes (step - warmup_steps) to later schedules, so
+        # boundaries are expressed relative to the warmup end — otherwise
+        # every decay would silently fire warmup_steps late.
+        return optax.piecewise_constant_schedule(
+            init_value=base_lr,
+            boundaries_and_scales={
+                max(int(b) - offset, 1): decays[i + 1] / decays[i]
+                for i, b in enumerate(boundaries)})
+
     if warmup_steps <= 0:
-        return piecewise
+        return make_piecewise(0)
     warmup = optax.linear_schedule(init_value=base_lr * 0.1,
                                    end_value=base_lr,
                                    transition_steps=warmup_steps)
-    return optax.join_schedules([warmup, piecewise], [warmup_steps])
+    return optax.join_schedules([warmup, make_piecewise(warmup_steps)],
+                                [warmup_steps])
 
 
 def _kernel_mask(params):

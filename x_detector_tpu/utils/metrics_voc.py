@@ -83,8 +83,7 @@ class VOCEvaluator:
                 continue
             sel = labels == cls
             self._gt[(image_id, int(cls))] = {
-                "boxes": boxes[sel], "difficult": difficult[sel],
-                "matched": np.zeros(int(sel.sum()), bool)}
+                "boxes": boxes[sel], "difficult": difficult[sel]}
             self._npos[int(cls)] += int((~difficult[sel]).sum())
 
     def add_detections(self, image_id: str, boxes, scores, labels) -> None:
