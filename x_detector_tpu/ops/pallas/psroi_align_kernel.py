@@ -6,20 +6,29 @@ RoI-align pooling factorizes into separable triangular-kernel contractions
     out[r, i, j, c] = (1/S^2) * sum_p WY[r,i,p] * sum_q WX[r,j,q]
                                  * feat[p, q, (i*k+j), c]
 
-The XLA einsum implementation materializes an ``[R, k, W, k, C]``
-intermediate in HBM twice; this kernel keeps everything on-chip and is built
-from Mosaic-friendly **2-D ops only** (no in-kernel reshapes/relayouts):
+This kernel keeps everything on-chip with Mosaic-friendly 2-D ops only:
 
-  * features arrive pre-arranged as ``[k*k, H, W*C]`` (one 2-D ``[H, W*C]``
-    slab per position-sensitive group) and sit whole in VMEM (~4.9 MB at
+  * features arrive pre-arranged as ``[k(i), H, k(j)*C*W]`` row slabs
+    (W minor within each (j, c) block) and sit whole in VMEM (~4.9 MB at
     800 px);
-  * each grid step handles BLOCK_R rois; interpolation weights are built
-    in-kernel with integer ``broadcasted_iota``;
-  * per bin (i, j):  row contraction = one MXU matmul
-    ``[BLOCK_R, H] @ [H, W*C]``; the column contraction multiplies by the
-    column-expanded x-weights elementwise and reduces strided channels with
-    one constant 0/1 selector matmul ``[BLOCK_R, W*C] @ [W*C, C]``;
-  * output [BLOCK_R, k, k, C] written with static bin indices.
+  * each grid step handles BLOCK_R rois; compact interpolation weights are
+    built in-kernel with integer ``broadcasted_iota``; the x-weights expand
+    to the slab layout by lane **concatenation** (tiling — no per-element
+    index arithmetic);
+  * per row-bin i: ONE MXU matmul ``[BLOCK_R, H] @ [H, k*C*W]`` contracts
+    the rows of all of that row's column bins at once, then an elementwise
+    multiply and one constant 0/1 selector matmul ``[k*C*W, k*C]`` reduce
+    over q for every (j, c) simultaneously.
+
+Design history (all raced on a real v5e, batch 16 x 1000 rois on
+50x50x490 maps): v1 per-bin matmuls + in-kernel weight interleaving
+(8.2 ms, VMEM-OOM at first), v2 [g,H,C*W] slabs with tiled weights
+(7.0 ms), v3 = this layout (~7.1 ms, one matmul per row-bin).  The XLA
+separable-einsum formulation measures 6.4-7.9 ms on the same inputs and
+wins the interleaved A/B by ~5%, so it remains the production path
+(SURVEY §7: "only keep if faster"); this kernel is kept as a correct,
+tested alternative and the base for further VMEM-resident work
+(docs/ROADMAP.md item 5).
 
 Backward: ``jax.custom_vjp`` with the transposed contractions in plain XLA —
 deterministic and atomic-free (the reference's CUDA backward used
@@ -42,32 +51,9 @@ from x_detector_tpu.ops.psroi_align import _interp_weights, _sample_coords
 BLOCK_R = 128
 
 
-def _weights_in_kernel(lo, hi, grid: int, samples: int, extent: int,
-                       repeat: int = 1):
-    """[BLOCK_R] lo/hi -> [BLOCK_R, grid, extent * repeat] weights.
-
-    With ``repeat > 1`` every weight is duplicated ``repeat`` times along
-    the last axis (column-expanded: w[..., q*repeat + c] = w[..., q]) so it
-    can multiply a ``[*, W*C]`` slab elementwise without any reshape.
-    """
-    br = lo.shape[0]
-    span = (hi - lo) / grid                                   # [br]
-    cell = jax.lax.broadcasted_iota(
-        jnp.int32, (br, grid, samples), 1).astype(jnp.float32)
-    sub = (jax.lax.broadcasted_iota(
-        jnp.int32, (br, grid, samples), 2).astype(jnp.float32)
-        + 0.5) / samples
-    norm = lo[:, None, None] + (cell + sub) * span[:, None, None]
-    px = jnp.clip(norm * extent - 0.5, 0.0, extent - 1.0)     # [br, g, S]
-    pix = (jax.lax.broadcasted_iota(
-        jnp.int32, (br, grid, samples, extent * repeat), 3) // repeat
-    ).astype(jnp.float32)
-    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pix - px[..., None]))
-    return wgt.sum(axis=2)                                    # [br, g, E*rep]
-
-
-def _sample_px(lo, hi, grid: int, samples: int, extent: int):
-    """[BLOCK_R] lo/hi -> clamped continuous pixel coords [br, grid, S]."""
+def _weights_in_kernel(lo, hi, grid: int, samples: int, extent: int):
+    """[BLOCK_R] lo/hi -> compact [BLOCK_R, grid, extent] weights (iota is
+    integer-typed: TPU has no float iota)."""
     br = lo.shape[0]
     span = (hi - lo) / grid
     cell = jax.lax.broadcasted_iota(
@@ -76,45 +62,29 @@ def _sample_px(lo, hi, grid: int, samples: int, extent: int):
         jnp.int32, (br, grid, samples), 2).astype(jnp.float32)
         + 0.5) / samples
     norm = lo[:, None, None] + (cell + sub) * span[:, None, None]
-    return jnp.clip(norm * extent - 0.5, 0.0, extent - 1.0)
-
-
-def _expand_weights_one_bin(px_j, extent: int, repeat: int):
-    """px_j [br, S] -> column-expanded weights [br, extent*repeat]."""
-    br, samples = px_j.shape
-    pix = (jax.lax.broadcasted_iota(
-        jnp.int32, (br, samples, extent * repeat), 2) // repeat
-    ).astype(jnp.float32)
-    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pix - px_j[..., None]))
-    return wgt.sum(axis=1)
+    px = jnp.clip(norm * extent - 0.5, 0.0, extent - 1.0)
+    pix = jax.lax.broadcasted_iota(
+        jnp.int32, (br, grid, samples, extent), 3).astype(jnp.float32)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pix - px[..., None]))
+    return wgt.sum(axis=2)
 
 
 def _psroi_kernel(rois_ref, feat_ref, sel_ref, out_ref, *, grid: int,
                   samples: int, channels: int, height: int, width: int):
-    """One grid step = BLOCK_R rois.  Per row-bin i: ONE MXU matmul against
-    the concatenation of that row's ``grid`` column-bin slabs
-    ([H, grid*W*C]), then elementwise x-weights and one selector matmul that
-    reduces over both q and j at once."""
     rois = rois_ref[:]                                        # [BLOCK_R, 4]
     wy = _weights_in_kernel(rois[:, 0], rois[:, 2], grid, samples, height)
-    px_x = _sample_px(rois[:, 1], rois[:, 3], grid, samples, width)
-    sel = sel_ref[:]                                          # [g*W*C, g*C]
+    wx = _weights_in_kernel(rois[:, 1], rois[:, 3], grid, samples, width)
+    # expand to the slab layout [br, g*C*W] by pure lane concatenation
+    wxe = jnp.concatenate(
+        [wx[:, j, :] for j in range(grid) for _ in range(channels)], axis=1)
+    sel = sel_ref[:]                                          # [g*C*W, g*C]
     inv = 1.0 / float(samples * samples)
-    wc = width * channels
     for i in range(grid):
-        wy_i = wy[:, i, :]                                    # [br, H]
-        slab_row = feat_ref[i]                                # [H, g*W*C]
-        a = jax.lax.dot(wy_i, slab_row,
-                        preferred_element_type=jnp.float32)   # [br, g*W*C]
-        # x-weights expanded one column-bin at a time (bounds VMEM):
-        m_parts = [
-            a[:, j * wc:(j + 1) * wc] *
-            _expand_weights_one_bin(px_x[:, j, :], width, channels)
-            for j in range(grid)]
-        m = jnp.concatenate(m_parts, axis=1)                  # [br, g*W*C]
-        pooled = jax.lax.dot(m, sel,
+        a = jax.lax.dot(wy[:, i, :], feat_ref[i],
+                        preferred_element_type=jnp.float32)   # [br, g*C*W]
+        pooled = jax.lax.dot(a * wxe, sel,
                              preferred_element_type=jnp.float32) * inv
-        for j in range(grid):                                 # [br, g*C]
+        for j in range(grid):
             out_ref[:, i, j, :] = pooled[:, j * channels:(j + 1) * channels]
 
 
@@ -129,15 +99,14 @@ def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
             [rois, jnp.zeros((pad, 4), rois.dtype)], axis=0)
     rp = r + pad
 
-    # [H, W, k(i)*k(j), C] -> [k(i), H, k(j)*W*C] row slabs (one XLA
-    # transpose, outside the kernel).
+    # [H, W, k(i), k(j), C] -> [k(i), H, k(j), C, W] -> row slabs
     feat = (features.reshape(h, w, grid, grid, c)
-            .transpose(2, 0, 3, 1, 4).reshape(grid, h, grid * w * c)
+            .transpose(2, 0, 3, 4, 1).reshape(grid, h, grid * c * w)
             .astype(jnp.float32))
-    # constant selector reducing q (stride C) within each j block:
-    # sel[j*W*C + q*C + c0, j*C + c] = (c0 == c)
-    sel = jnp.asarray(np.kron(np.eye(grid, dtype=np.float32),
-                              np.tile(np.eye(c, dtype=np.float32), (w, 1))))
+    # selector summing over the W-minor blocks: sel[(j,c0)*W + q, (j,c)] =
+    # (c0 == c within the same j)
+    sel = jnp.asarray(np.kron(np.eye(grid * c, dtype=np.float32),
+                              np.ones((w, 1), np.float32)))
 
     kernel = functools.partial(_psroi_kernel, grid=grid, samples=samples,
                                channels=c, height=h, width=w)
@@ -147,9 +116,9 @@ def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((BLOCK_R, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((grid, h, grid * w * c), lambda i: (0, 0, 0),
+            pl.BlockSpec((grid, h, grid * c * w), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((grid * w * c, grid * c), lambda i: (0, 0),
+            pl.BlockSpec((grid * c * w, grid * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK_R, grid, grid, c),
@@ -180,6 +149,7 @@ def _bwd(grid, samples, res, g):
     wx = _interp_weights(xs, w)                               # [R, k, W]
     scale = 1.0 / float(samples * samples)
     # d feat[p,q,(i,j),c] = sum_r wy[r,i,p] * wx[r,j,q] * g[r,i,j,c]
+    # (each channel group (i, j) receives only from its own bin)
     gw2 = jnp.einsum("rijc,rjq->rijqc", g.astype(jnp.float32), wx)
     dfeat_full = jnp.einsum("rip,rijqc->pqijc", wy, gw2) * scale
     dfeat_full = dfeat_full.reshape(h, w, kkc).astype(features.dtype)
