@@ -23,6 +23,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model-dir", default="/tmp/xdet_model",
                    help="checkpoint/metrics directory")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--letterbox", action="store_true",
+                   help="aspect-preserving canvas placement (default: "
+                        "square resize)")
 
 
 def resolve_config(args) -> ExperimentConfig:
@@ -33,6 +36,9 @@ def resolve_config(args) -> ExperimentConfig:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            batch_size=args.batch_size))
+    if getattr(args, "letterbox", False):
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, letterbox=True))
     return cfg
 
 
@@ -59,14 +65,16 @@ def batch_iterator(args, cfg: ExperimentConfig, training: bool,
                                 max_gt=cfg.data.max_gt_boxes,
                                 batch_size=cfg.train.batch_size,
                                 shuffle=training, seed=args.seed,
-                                repeat=training)
+                                repeat=training,
+                                letterbox=cfg.data.letterbox)
 
         from x_detector_tpu.data import tfrecord as tfr
         ds = tfr.make_dataset(shards, canvas_size=canvas,
                               max_gt=cfg.data.max_gt_boxes,
                               batch_size=cfg.train.batch_size,
                               shuffle=training, seed=args.seed,
-                              repeat=training)
+                              repeat=training,
+                              letterbox=cfg.data.letterbox)
         return tfr.as_numpy_iterator(ds)
     from x_detector_tpu.data.synthetic import synthetic_batches
     return synthetic_batches(args.seed, cfg.train.batch_size, canvas,

@@ -32,9 +32,24 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from PIL import Image
-    img = np.asarray(Image.open(args.input).convert("RGB"), np.float32)
+    pil = Image.open(args.input).convert("RGB")
+    img = np.asarray(pil, np.float32)
 
     cfg = common.resolve_config(args)
+    box_scale = np.array([1.0, 1.0], np.float32)
+    if cfg.data.letterbox:
+        # aspect-preserving placement; detections are unscaled for drawing
+        size = cfg.model.image_size
+        h0, w0 = img.shape[:2]
+        s = size / max(h0, w0)
+        h1, w1 = max(1, round(h0 * s)), max(1, round(w0 * s))
+        resized = np.asarray(pil.resize((w1, h1)), np.float32)
+        canvas = np.zeros((size, size, 3), np.float32)
+        canvas[:h1, :w1] = resized
+        img_for_model = canvas
+        box_scale = np.array([h1 / size, w1 / size], np.float32)
+    else:
+        img_for_model = img
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(args.seed),
                                           dtype=dtype)
@@ -47,9 +62,12 @@ def main(argv=None):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     eval_fn = build_eval_fn(model, cfg)
-    inp = preprocess_for_eval(jnp.asarray(img), cfg.data)[None]
+    inp = preprocess_for_eval(jnp.asarray(img_for_model), cfg.data)[None]
     boxes, scores, classes, valid = map(
         np.asarray, eval_fn(variables, inp))
+    # back to original-image normalized coords (no-op unless letterbox)
+    boxes = np.clip(boxes / np.array([box_scale[0], box_scale[1],
+                                      box_scale[0], box_scale[1]]), 0, 1)
 
     keep = valid[0] & (scores[0] >= args.score_threshold)
     print(f"{int(keep.sum())} detections >= {args.score_threshold}")

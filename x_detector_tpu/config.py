@@ -121,6 +121,10 @@ class DataConfig:
     """Data + augmentation spec (SURVEY.md §2.2 P1–P4)."""
     image_size: int = 800
     max_gt_boxes: int = 100               # static pad for per-image gt
+    # aspect-preserving letterbox onto the square canvas (reference keeps
+    # aspect via short-side resize; square-squash is the default divergence,
+    # DESIGN.md §10). Boxes are re-normalized to canvas coordinates.
+    letterbox: bool = False
     # distorted-bbox crop (P1)
     min_object_covered: float = 0.25
     box_keep_coverage: float = 0.25   # drop gt whose crop coverage is below

@@ -40,13 +40,14 @@ def _load_library(build_if_missing: bool = True):
     lib.xdet_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-        ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.xdet_loader_next.restype = ctypes.c_int
     lib.xdet_loader_next.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_int]
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_char_p, ctypes.c_int]
     lib.xdet_loader_destroy.restype = None
     lib.xdet_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -58,7 +59,8 @@ class NativeLoader:
 
     def __init__(self, shard_paths: Sequence[str], canvas_size: int,
                  max_gt: int, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, repeat: bool = True, num_threads: int = 4):
+                 seed: int = 0, repeat: bool = True, num_threads: int = 4,
+                 letterbox: bool = False):
         self._lib = _load_library()
         self.canvas = canvas_size
         self.max_gt = max_gt
@@ -67,7 +69,7 @@ class NativeLoader:
         arr = (ctypes.c_char_p * len(paths))(*paths)
         self._handle = self._lib.xdet_loader_create(
             arr, len(paths), canvas_size, max_gt, batch_size,
-            int(shuffle), seed, int(repeat), num_threads)
+            int(shuffle), seed, int(repeat), num_threads, int(letterbox))
         assert self._handle, "native loader creation failed"
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -80,6 +82,7 @@ class NativeLoader:
         labels = np.empty((b, g), np.int32)
         mask = np.empty((b, g), np.uint8)
         difficult = np.empty((b, g), np.uint8)
+        box_scale = np.empty((b, 2), np.float32)
         ids = ctypes.create_string_buffer(b * _ID_CAPACITY)
         n = self._lib.xdet_loader_next(
             self._handle,
@@ -88,6 +91,7 @@ class NativeLoader:
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             difficult.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            box_scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ids, _ID_CAPACITY)
         if n == 0:
             raise StopIteration
@@ -97,7 +101,8 @@ class NativeLoader:
         return {
             "image": images[:n], "gt_boxes": boxes[:n],
             "gt_labels": labels[:n], "gt_mask": mask[:n].astype(bool),
-            "difficult": difficult[:n].astype(bool), "image_id": id_list,
+            "difficult": difficult[:n].astype(bool),
+            "box_scale": box_scale[:n], "image_id": id_list,
         }
 
     def close(self) -> None:

@@ -103,13 +103,17 @@ def _make_example(tf, encoded: bytes, image_id: str, ann: Dict) -> bytes:
 
 def make_dataset(shard_paths: Sequence[str], canvas_size: int,
                  max_gt: int, batch_size: int, shuffle: bool,
-                 seed: int = 0, repeat: bool = True):
+                 seed: int = 0, repeat: bool = True,
+                 letterbox: bool = False):
     """tf.data pipeline: TFRecord -> decode -> canvas resize -> padded batch.
 
     Emits dicts matching the trainer batch schema plus ``image_id`` and
-    ``difficult`` (for eval).  The canvas resize is a plain bilinear resize
-    to [canvas, canvas] (boxes stay normalized, aspect distortion matches the
-    square-input model convention).
+    ``difficult`` (for eval).  Default canvas placement is a plain bilinear
+    squash to [canvas, canvas]; with ``letterbox=True`` the aspect ratio is
+    preserved — the image is scaled to fit and placed top-left, the rest is
+    zero padding, gt boxes are re-normalized to canvas coordinates, and the
+    per-image content fraction is emitted as ``box_scale`` [fy, fx]
+    (detections divide by it to return to original normalized coords).
     """
     tf = _tf()
 
@@ -127,12 +131,27 @@ def make_dataset(shard_paths: Sequence[str], canvas_size: int,
     def parse(record):
         ex = tf.io.parse_single_example(record, spec)
         img = tf.io.decode_jpeg(ex[_KEYS["encoded"]], channels=3)
-        img = tf.image.resize(tf.cast(img, tf.float32),
-                              (canvas_size, canvas_size))
+        img = tf.cast(img, tf.float32)
+        if letterbox:
+            shape = tf.shape(img)
+            h0 = tf.cast(shape[0], tf.float32)
+            w0 = tf.cast(shape[1], tf.float32)
+            scale = canvas_size / tf.maximum(h0, w0)
+            h1 = tf.cast(tf.round(h0 * scale), tf.int32)
+            w1 = tf.cast(tf.round(w0 * scale), tf.int32)
+            img = tf.image.resize(img, (h1, w1))
+            img = tf.pad(img, [[0, canvas_size - h1],
+                               [0, canvas_size - w1], [0, 0]])
+            img.set_shape((canvas_size, canvas_size, 3))
+            fy = tf.cast(h1, tf.float32) / canvas_size
+            fx = tf.cast(w1, tf.float32) / canvas_size
+        else:
+            img = tf.image.resize(img, (canvas_size, canvas_size))
+            fy = fx = tf.constant(1.0)
         def dense(k, dtype=tf.float32):
             return tf.sparse.to_dense(ex[_KEYS[k]])
-        boxes = tf.stack([dense("ymin"), dense("xmin"),
-                          dense("ymax"), dense("xmax")], axis=-1)
+        boxes = tf.stack([dense("ymin") * fy, dense("xmin") * fx,
+                          dense("ymax") * fy, dense("xmax") * fx], axis=-1)
         n = tf.shape(boxes)[0]
         pad = tf.maximum(max_gt - n, 0)
         boxes = tf.pad(boxes[:max_gt], [[0, pad], [0, 0]])
@@ -143,6 +162,7 @@ def make_dataset(shard_paths: Sequence[str], canvas_size: int,
         mask = tf.pad(tf.ones((tf.minimum(n, max_gt),), tf.bool), [[0, pad]])
         return {"image": img, "gt_boxes": boxes, "gt_labels": labels,
                 "gt_mask": mask, "difficult": difficult,
+                "box_scale": tf.stack([fy, fx]),
                 "image_id": ex[_KEYS["image_id"]]}
 
     ds = tf.data.TFRecordDataset(list(shard_paths),

@@ -309,15 +309,19 @@ bool DecodeJpeg(const std::string& bytes, std::vector<uint8_t>* rgb,
   return true;
 }
 
-void ResizeBilinear(const uint8_t* src, int sh, int sw, float* dst, int d) {
+// Resize src (sh x sw) to (dh x dw), writing into dst whose rows are
+// ``dst_stride`` pixels wide (dst_stride >= dw; letterbox writes into the
+// top-left of a larger zeroed canvas).
+void ResizeBilinear(const uint8_t* src, int sh, int sw, float* dst,
+                    int dh, int dw, int dst_stride) {
   // float output in [0, 255]; half-pixel-center sampling, clamped.
-  for (int y = 0; y < d; ++y) {
-    float fy = (y + 0.5f) * sh / d - 0.5f;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sh / dh - 0.5f;
     fy = std::max(0.f, std::min(fy, float(sh - 1)));
     int y0 = int(fy), y1 = std::min(y0 + 1, sh - 1);
     float wy = fy - y0;
-    for (int x = 0; x < d; ++x) {
-      float fx = (x + 0.5f) * sw / d - 0.5f;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sw / dw - 0.5f;
       fx = std::max(0.f, std::min(fx, float(sw - 1)));
       int x0 = int(fx), x1 = std::min(x0 + 1, sw - 1);
       float wx = fx - x0;
@@ -326,7 +330,7 @@ void ResizeBilinear(const uint8_t* src, int sh, int sw, float* dst, int d) {
         float v01 = src[(size_t(y0) * sw + x1) * 3 + c];
         float v10 = src[(size_t(y1) * sw + x0) * 3 + c];
         float v11 = src[(size_t(y1) * sw + x1) * 3 + c];
-        dst[(size_t(y) * d + x) * 3 + c] =
+        dst[(size_t(y) * dst_stride + x) * 3 + c] =
             (1 - wy) * ((1 - wx) * v00 + wx * v01) +
             wy * ((1 - wx) * v10 + wx * v11);
       }
@@ -340,17 +344,18 @@ void ResizeBilinear(const uint8_t* src, int sh, int sw, float* dst, int d) {
 
 struct DecodedExample {
   std::vector<float> image;       // canvas*canvas*3
-  std::vector<float> boxes;       // max_gt*4
+  std::vector<float> boxes;       // max_gt*4 (canvas-normalized)
   std::vector<int32_t> labels;    // max_gt
   std::vector<uint8_t> mask;      // max_gt
   std::vector<uint8_t> difficult; // max_gt
+  float box_scale[2] = {1.f, 1.f};  // content fraction [fy, fx] (letterbox)
   std::string image_id;
 };
 
 struct Loader {
   std::vector<std::string> paths;
   int canvas, max_gt, batch;
-  bool shuffle, repeat;
+  bool shuffle, repeat, letterbox = false;
   uint64_t seed;
   int num_threads;
 
@@ -397,7 +402,8 @@ bool ReadRecord(FILE* f, std::vector<uint8_t>* out) {
 }
 
 std::unique_ptr<DecodedExample> DecodeOne(const std::vector<uint8_t>& rec,
-                                          int canvas, int max_gt) {
+                                          int canvas, int max_gt,
+                                          bool letterbox) {
   ParsedExample ex;
   if (!ParseExample(rec.data(), rec.size(), &ex) || ex.encoded.empty())
     return nullptr;
@@ -407,18 +413,31 @@ std::unique_ptr<DecodedExample> DecodeOne(const std::vector<uint8_t>& rec,
     return nullptr;
 
   auto out = std::make_unique<DecodedExample>();
-  out->image.resize(size_t(canvas) * canvas * 3);
-  ResizeBilinear(rgb.data(), h, w, out->image.data(), canvas);
+  out->image.assign(size_t(canvas) * canvas * 3, 0.f);
+  if (letterbox) {
+    float scale = float(canvas) / std::max(h, w);
+    int h1 = std::max(1, int(h * scale + 0.5f));
+    int w1 = std::max(1, int(w * scale + 0.5f));
+    h1 = std::min(h1, canvas);
+    w1 = std::min(w1, canvas);
+    ResizeBilinear(rgb.data(), h, w, out->image.data(), h1, w1, canvas);
+    out->box_scale[0] = float(h1) / canvas;
+    out->box_scale[1] = float(w1) / canvas;
+  } else {
+    ResizeBilinear(rgb.data(), h, w, out->image.data(), canvas, canvas,
+                   canvas);
+  }
   out->boxes.assign(size_t(max_gt) * 4, 0.f);
   out->labels.assign(max_gt, 0);
   out->mask.assign(max_gt, 0);
   out->difficult.assign(max_gt, 0);
   size_t n = std::min<size_t>(ex.ymin.size(), max_gt);
+  const float fy = out->box_scale[0], fx = out->box_scale[1];
   for (size_t i = 0; i < n; ++i) {
-    out->boxes[i * 4 + 0] = ex.ymin[i];
-    out->boxes[i * 4 + 1] = ex.xmin[i];
-    out->boxes[i * 4 + 2] = ex.ymax[i];
-    out->boxes[i * 4 + 3] = ex.xmax[i];
+    out->boxes[i * 4 + 0] = ex.ymin[i] * fy;
+    out->boxes[i * 4 + 1] = ex.xmin[i] * fx;
+    out->boxes[i * 4 + 2] = ex.ymax[i] * fy;
+    out->boxes[i * 4 + 3] = ex.xmax[i] * fx;
     out->labels[i] = i < ex.labels.size() ? int32_t(ex.labels[i]) : 0;
     out->mask[i] = 1;
     out->difficult[i] = i < ex.difficult.size() && ex.difficult[i] ? 1 : 0;
@@ -459,7 +478,7 @@ void WorkerMain(Loader* L, int worker_id) {
       if (!f) continue;
       std::vector<uint8_t> rec;
       while (!L->stop && ReadRecord(f, &rec)) {
-        auto ex = DecodeOne(rec, L->canvas, L->max_gt);
+        auto ex = DecodeOne(rec, L->canvas, L->max_gt, L->letterbox);
         if (!ex) continue;
         if (L->shuffle) {
           if (buffer.size() < kBuf) {
@@ -506,7 +525,7 @@ extern "C" {
 
 void* xdet_loader_create(const char** paths, int num_paths, int canvas,
                          int max_gt, int batch, int shuffle, uint64_t seed,
-                         int repeat, int num_threads) {
+                         int repeat, int num_threads, int letterbox) {
   auto* L = new Loader();
   for (int i = 0; i < num_paths; ++i) L->paths.emplace_back(paths[i]);
   L->canvas = canvas;
@@ -514,6 +533,7 @@ void* xdet_loader_create(const char** paths, int num_paths, int canvas,
   L->batch = batch;
   L->shuffle = shuffle != 0;
   L->repeat = repeat != 0;
+  L->letterbox = letterbox != 0;
   L->seed = seed;
   L->num_threads = std::max(1, std::min(num_threads,
                                         int(L->paths.size())));
@@ -527,7 +547,7 @@ void* xdet_loader_create(const char** paths, int num_paths, int canvas,
 // < batch on final partial batch, 0 at end of data).
 int xdet_loader_next(void* handle, float* images, float* boxes,
                      int32_t* labels, uint8_t* mask, uint8_t* difficult,
-                     char* image_ids, int id_capacity) {
+                     float* box_scale, char* image_ids, int id_capacity) {
   auto* L = static_cast<Loader*>(handle);
   int count = 0;
   const size_t img_sz = size_t(L->canvas) * L->canvas * 3;
@@ -552,6 +572,10 @@ int xdet_loader_next(void* handle, float* images, float* boxes,
     memcpy(mask + size_t(count) * L->max_gt, ex->mask.data(), L->max_gt);
     memcpy(difficult + size_t(count) * L->max_gt, ex->difficult.data(),
            L->max_gt);
+    if (box_scale) {
+      box_scale[count * 2 + 0] = ex->box_scale[0];
+      box_scale[count * 2 + 1] = ex->box_scale[1];
+    }
     if (image_ids && id_capacity > 0) {
       char* dst = image_ids + size_t(count) * id_capacity;
       strncpy(dst, ex->image_id.c_str(), id_capacity - 1);
