@@ -1,0 +1,82 @@
+"""Export a trained detector as a serialized StableHLO artifact (serving).
+
+The reference has no serving story (SURVEY.md §1: "no serving stack"); for
+production deployment this CLI freezes the full images -> (boxes, scores,
+classes, valid) pipeline — weights baked in, NMS included — into a
+``jax.export`` artifact that any JAX process (or an XLA runtime consuming
+StableHLO) can reload and run without the model code.
+
+  python -m x_detector_tpu.cli.export --preset lighthead_xception \
+      --model-dir /tmp/lh --output /tmp/lh_detector.stablehlo --batch 8
+
+Reload:
+  from jax import export
+  fn = export.deserialize(open(path, 'rb').read())
+  boxes, scores, classes, valid = fn.call(images)   # [B, S, S, 3] float32
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from x_detector_tpu.cli import common
+from x_detector_tpu.cli.evaluate import build_eval_fn
+from x_detector_tpu.data.augment import preprocess_for_eval
+from x_detector_tpu.train.checkpoint import CheckpointManager
+from x_detector_tpu.train.trainer import create_model_and_state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--output", required=True, help="artifact path")
+    p.add_argument("--batch", type=int, default=1,
+                   help="static serving batch size")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--raw-rgb", action="store_true",
+                   help="bake eval preprocessing (resize+whiten) in, taking "
+                        "raw [0,255] RGB of the model input size")
+    args = p.parse_args(argv)
+
+    cfg = common.resolve_config(args)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(args.seed),
+                                          dtype=dtype)
+    ckpt = CheckpointManager(f"{args.model_dir}/ckpt")
+    if ckpt.latest_step() is not None:
+        state, _ = ckpt.restore(state)
+        print(f"exporting checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint found, exporting random init")
+    ckpt.close()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    eval_fn = build_eval_fn(model, cfg)
+
+    if args.raw_rgb:
+        def serving_fn(images):
+            whitened = jax.vmap(
+                lambda im: preprocess_for_eval(im, cfg.data))(images)
+            return eval_fn(variables, whitened)
+    else:
+        def serving_fn(images):
+            return eval_fn(variables, images)
+
+    size = cfg.model.image_size
+    spec = jax.ShapeDtypeStruct((args.batch, size, size, 3), jnp.float32)
+    from jax import export as jexport
+    exported = jexport.export(jax.jit(serving_fn))(spec)
+    blob = exported.serialize()
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"wrote {len(blob) / 1e6:.1f} MB -> {args.output} "
+          f"(input [{args.batch}, {size}, {size}, 3] float32; outputs "
+          f"boxes/scores/classes/valid)")
+
+
+if __name__ == "__main__":
+    main()
