@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 16
-ITERS = 10
+ITERS = 16
 
 
 def main():
