@@ -166,3 +166,28 @@ def test_batch_preprocess_shapes():
     out = A.preprocess_batch_for_train(jax.random.PRNGKey(0), batch, CFG)
     assert out["image"].shape == (3, 64, 64, 3)
     assert out["gt_boxes"].shape == (3, 8, 4)
+
+
+def test_device_synthetic_generator():
+    from x_detector_tpu.data.synthetic import synthetic_batch_device
+    b = jax.jit(lambda k: synthetic_batch_device(k, 2, 64, max_gt=8))(
+        jax.random.PRNGKey(0))
+    assert b["image"].shape == (2, 64, 64, 3)
+    img = np.asarray(b["image"])
+    assert img.min() >= 0 and img.max() <= 255
+    m = np.asarray(b["gt_mask"])
+    assert m.sum() >= 2  # at least one object per image
+    boxes = np.asarray(b["gt_boxes"])
+    labels = np.asarray(b["gt_labels"])
+    assert ((labels > 0) == m).all()
+    # painted interiors differ from the dim background
+    for i in range(2):
+        bx = boxes[i][m[i]][0]
+        y0, x0, y1, x1 = (bx * 64).astype(int)
+        inner = img[i, y0 + 1:y1 - 1, x0 + 1:x1 - 1]
+        if inner.size:
+            assert inner.mean() > 60  # background is uniform [0, 60)
+    # deterministic per key, different across keys
+    b2 = jax.jit(lambda k: synthetic_batch_device(k, 2, 64, max_gt=8))(
+        jax.random.PRNGKey(0))
+    assert (np.asarray(b2["image"]) == img).all()

@@ -64,3 +64,61 @@ def synthetic_batches(seed: int, batch_size: int, image_size: int,
                                  num_classes=num_classes)
                for _ in range(batch_size)]
         yield {k: np.stack([e[k] for e in exs]) for k in exs[0]}
+
+
+# ---------------------------------------------------------------------------
+# Device-side generator (jit-able): infinite fresh data with zero host
+# involvement — used for on-hardware training demos and benchmarking where
+# the host->device tunnel would otherwise bound throughput.
+# ---------------------------------------------------------------------------
+
+def synthetic_batch_device(key, batch_size: int, image_size: int,
+                           max_gt: int = 100, num_classes: int = 20,
+                           max_objects: int = 6):
+    """jit-able synthetic detection batch on the accelerator.
+
+    Same task family as :func:`synthetic_example` (class-colored rectangles
+    on dim noise), entirely in jax.  Returns the trainer batch schema with
+    raw [0, 255] RGB images.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    palette = jnp.asarray(_CLASS_COLORS[:num_classes])
+
+    def one(key):
+        kn, kc, kh, kw, ky, kx, kl, kg = jax.random.split(key, 8)
+        img = jax.random.uniform(kn, (image_size, image_size, 3),
+                                 minval=0.0, maxval=60.0)
+        n = jax.random.randint(kc, (), 1, max_objects + 1)
+        g = jnp.arange(max_gt)
+        mask = g < jnp.minimum(n, max_gt)
+        h = jax.random.uniform(kh, (max_gt,), minval=0.15, maxval=0.5)
+        w = jax.random.uniform(kw, (max_gt,), minval=0.15, maxval=0.5)
+        cy = jax.random.uniform(ky, (max_gt,)) * (1 - h) + h / 2
+        cx = jax.random.uniform(kx, (max_gt,)) * (1 - w) + w / 2
+        boxes = jnp.stack([cy - h / 2, cx - w / 2,
+                           cy + h / 2, cx + w / 2], axis=-1)
+        labels = jax.random.randint(kl, (max_gt,), 1, num_classes + 1)
+        boxes = jnp.where(mask[:, None], boxes, 0.0)
+        labels = jnp.where(mask, labels, 0).astype(jnp.int32)
+
+        yy = (jnp.arange(image_size, dtype=jnp.float32)[:, None]
+              + 0.5) / image_size
+        xx = (jnp.arange(image_size, dtype=jnp.float32)[None, :]
+              + 0.5) / image_size
+        noise = jax.random.normal(kg, (image_size, image_size, 3)) * 8.0
+
+        def paint(i, im):
+            inb = ((yy >= boxes[i, 0]) & (yy < boxes[i, 2]) &
+                   (xx >= boxes[i, 1]) & (xx < boxes[i, 3]) & mask[i])
+            color = palette[labels[i] - 1]
+            return jnp.where(inb[:, :, None], color + noise, im)
+
+        img = jax.lax.fori_loop(0, max_objects, paint, img)
+        img = jnp.clip(img, 0.0, 255.0)
+        return {"image": img, "gt_boxes": boxes, "gt_labels": labels,
+                "gt_mask": mask}
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one)(keys)
