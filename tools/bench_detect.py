@@ -29,11 +29,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from x_detector_tpu.cli.evaluate import build_eval_fn
     from x_detector_tpu.config import PRESETS
-    from x_detector_tpu.models.lighthead import (LightHeadRCNN,
-                                                 lighthead_postprocess)
-    from x_detector_tpu.models.ssd import SSDModel, build_ssd_anchors
-    from x_detector_tpu.models.detector import postprocess_detections
+    from x_detector_tpu.models.lighthead import LightHeadRCNN
+    from x_detector_tpu.models.ssd import SSDModel
 
     cfg = (PRESETS[args.preset](image_size=args.image_size)
            if args.image_size else PRESETS[args.preset]())
@@ -41,30 +40,18 @@ def main():
 
     if cfg.model.family == "ssd":
         model = SSDModel(config=cfg.model, dtype=jnp.bfloat16)
-        anchors = jnp.asarray(build_ssd_anchors(cfg.model))
-
-        def tail(variables, images):
-            cls, loc = model.apply(variables, images, train=False)
-            det = postprocess_detections(
-                loc, cls, anchors, max_output=cfg.model.nms.max_output,
-                iou_threshold=cfg.model.nms.iou_threshold,
-                score_threshold=cfg.model.nms.score_threshold)
-            return det.scores.sum()
     else:
         model = LightHeadRCNN(config=cfg.model, dtype=jnp.bfloat16)
-
-        def tail(variables, images):
-            out = model.apply(variables, images, train=False)
-            return lighthead_postprocess(out, cfg.model).scores.sum()
+    eval_fn = build_eval_fn(model, cfg)  # the exact eval-CLI surface
 
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
-    detect = jax.jit(tail)
+    detect = jax.jit(lambda v, x: eval_fn(v, x)[1].sum())  # scalar fence
     batches = [jax.random.uniform(jax.random.PRNGKey(i),
                                   (args.batch, size, size, 3), jnp.float32,
                                   maxval=255.0) for i in range(args.iters)]
     _ = np.asarray(detect(variables, batches[0]))
-    _ = np.asarray(detect(variables, batches[1]))
+    _ = np.asarray(detect(variables, batches[min(1, len(batches) - 1)]))
     t0 = time.perf_counter()
     results = [detect(variables, b) for b in batches]
     _ = np.asarray(results[-1])

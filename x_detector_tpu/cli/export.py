@@ -13,6 +13,11 @@ Reload:
   from jax import export
   fn = export.deserialize(open(path, 'rb').read())
   boxes, scores, classes, valid = fn.call(images)   # [B, S, S, 3] float32
+
+Input convention: with ``--raw-rgb`` the artifact takes raw [0, 255] RGB at
+the model input size (preprocessing is baked in — recommended for serving);
+without it, inputs must already be eval-preprocessed (resized + VGG-mean
+whitened), matching what `build_eval_fn` consumes.
 """
 
 from __future__ import annotations

@@ -42,8 +42,10 @@ def main(argv=None):
         size = cfg.model.image_size
         h0, w0 = img.shape[:2]
         s = size / max(h0, w0)
-        h1, w1 = max(1, round(h0 * s)), max(1, round(w0 * s))
-        resized = np.asarray(pil.resize((w1, h1)), np.float32)
+        # half-up rounding + bilinear: identical placement/pixels to the
+        # data pipelines (native loader / tf.data)
+        h1, w1 = max(1, int(h0 * s + 0.5)), max(1, int(w0 * s + 0.5))
+        resized = np.asarray(pil.resize((w1, h1), Image.BILINEAR), np.float32)
         canvas = np.zeros((size, size, 3), np.float32)
         canvas[:h1, :w1] = resized
         img_for_model = canvas

@@ -137,8 +137,11 @@ def make_dataset(shard_paths: Sequence[str], canvas_size: int,
             h0 = tf.cast(shape[0], tf.float32)
             w0 = tf.cast(shape[1], tf.float32)
             scale = canvas_size / tf.maximum(h0, w0)
-            h1 = tf.cast(tf.round(h0 * scale), tf.int32)
-            w1 = tf.cast(tf.round(w0 * scale), tf.int32)
+            # floor(x + 0.5): half-up rounding, matching the native loader;
+            # clamp to >= 1 so extreme aspect ratios cannot produce a
+            # zero-sized resize target.
+            h1 = tf.maximum(tf.cast(tf.floor(h0 * scale + 0.5), tf.int32), 1)
+            w1 = tf.maximum(tf.cast(tf.floor(w0 * scale + 0.5), tf.int32), 1)
             img = tf.image.resize(img, (h1, w1))
             img = tf.pad(img, [[0, canvas_size - h1],
                                [0, canvas_size - w1], [0, 0]])

@@ -18,6 +18,10 @@ def piecewise_with_warmup(base_lr: float, boundaries: Sequence[int],
                           warmup_steps: int = 0) -> optax.Schedule:
     assert len(decays) == len(boundaries) + 1
 
+    assert all(int(b) > warmup_steps for b in boundaries), (
+        f"lr boundaries {tuple(boundaries)} must all exceed "
+        f"warmup_steps={warmup_steps}")
+
     def make_piecewise(offset: int):
         # join_schedules passes (step - warmup_steps) to later schedules, so
         # boundaries are expressed relative to the warmup end — otherwise
@@ -25,7 +29,7 @@ def piecewise_with_warmup(base_lr: float, boundaries: Sequence[int],
         return optax.piecewise_constant_schedule(
             init_value=base_lr,
             boundaries_and_scales={
-                max(int(b) - offset, 1): decays[i + 1] / decays[i]
+                int(b) - offset: decays[i + 1] / decays[i]
                 for i, b in enumerate(boundaries)})
 
     if warmup_steps <= 0:
