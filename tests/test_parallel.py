@@ -129,3 +129,26 @@ def test_dp_lighthead_step():
     for k in ("rpn_cls_loss", "roi_cls_loss", "total_loss"):
         assert np.isfinite(float(metrics[k])), k
     assert int(state.step) == 1
+
+
+def test_graft_dryrun_multichip_is_environment_proof():
+    """The driver calls __graft_entry__.dryrun_multichip(8) from a process
+    whose ambient JAX platform may be an unusable remote-TPU backend
+    (round-1 post-mortem: MULTICHIP_r01.json recorded a libtpu version
+    mismatch).  The function must self-pin to a virtual CPU mesh in a
+    subprocess, so it must succeed even when the caller's env demands a
+    nonexistent platform."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "definitely_not_a_platform"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ok, loss=" in proc.stdout
