@@ -124,3 +124,21 @@ def test_proposal_budgets_train_vs_eval():
                                     training=False)
     assert b_tr.shape == (1, 16, 4)
     assert b_ev.shape == (1, 8, 4)
+
+
+def test_per_class_box_regression_variant():
+    """class_agnostic_box=False (reference per-class-regression variant):
+    roi_box comes out [B, R, C, 4] and postprocess decodes per class."""
+    cfg = dataclasses.replace(tiny_config("xception_lite"),
+                              class_agnostic_box=False)
+    model = LightHeadRCNN(config=cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.1
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(vars_, x, train=False)
+    r = cfg.proposals.post_nms_topk_eval
+    assert out["roi_box"].shape == (2, r, cfg.num_classes, 4)
+    det = lighthead_postprocess(out, cfg)
+    assert det.boxes.shape == (2, cfg.nms.max_output, 4)
+    b = np.asarray(det.boxes)
+    assert (b >= 0).all() and (b <= 1).all()
+    assert np.asarray(det.classes).min() >= 0

@@ -123,3 +123,24 @@ def test_ohem_ignores_invalid():
                                jnp.zeros((r, 4)), jnp.zeros(r, bool), valid,
                                ohem_topk=5)
     np.testing.assert_allclose(float(total), np.log(21.0), rtol=1e-4)
+
+
+def test_roi_loss_per_class_box_gathers_target_slice():
+    """roi_box [R, C, 4] (class_agnostic_box=False): the loss must train the
+    slice at the target class, i.e. equal the class-agnostic loss computed on
+    those gathered slices."""
+    r, c = 6, 5
+    rng = np.random.default_rng(3)
+    cls = jnp.asarray(rng.normal(size=(r, c)), jnp.float32)
+    box_pc = jnp.asarray(rng.normal(size=(r, c, 4)), jnp.float32)
+    labels = jnp.asarray([1, 2, 0, 4, 0, 3], jnp.int32)
+    targets = jnp.asarray(rng.normal(size=(r, 4)), jnp.float32)
+    fg = labels > 0
+    valid = jnp.ones((r,), bool)
+
+    total_pc, _ = L.roi_loss_ohem(cls, box_pc, labels, targets, fg, valid,
+                                  ohem_topk=r)
+    gathered = box_pc[jnp.arange(r), labels]
+    total_ag, _ = L.roi_loss_ohem(cls, gathered, labels, targets, fg, valid,
+                                  ohem_topk=r)
+    np.testing.assert_allclose(float(total_pc), float(total_ag), rtol=1e-6)

@@ -87,3 +87,49 @@ def test_proposal_matching_masks_padding():
     assert np.asarray(res.fg_mask).tolist() == [True, False]
     assert np.asarray(res.bg_mask).tolist() == [False, False]
     assert np.asarray(res.labels).tolist() == [7, 0]
+
+
+def test_roi_background_band():
+    """match_proposals honors the [bg_lo, bg_hi) background band: proposals
+    in the dead zone [bg_hi, fg_iou) and below bg_lo are ignored."""
+    gt_b, gt_l, gt_m = _pad_gt([[0.0, 0.0, 0.4, 0.4]], [7])
+    props = jnp.array([
+        [0.0, 0.0, 0.4, 0.4],      # IoU 1.0      -> fg
+        [0.0, 0.0, 0.4, 0.28],     # IoU 0.7      -> fg
+        [0.0, 0.0, 0.4, 0.16],     # IoU 0.4      -> dead zone (ignored)
+        [0.0, 0.0, 0.4, 0.08],     # IoU 0.2      -> bg
+        [0.6, 0.6, 0.9, 0.9],      # IoU 0.0      -> below bg_lo (ignored)
+    ], jnp.float32)
+    pm = jnp.ones((5,), bool)
+    res = M.match_proposals(props, pm, gt_b, gt_l, gt_m,
+                            fg_iou=0.5, bg_iou_hi=0.3, bg_iou_lo=0.1)
+    assert np.asarray(res.fg_mask).tolist() == [True, True, False, False, False]
+    assert np.asarray(res.bg_mask).tolist() == [False, False, False, True, False]
+    assert np.asarray(res.labels).tolist() == [7, 7, 0, 0, 0]
+
+
+def test_roi_band_defaults_make_all_valid_nonfg_background():
+    gt_b, gt_l, gt_m = _pad_gt([[0.0, 0.0, 0.4, 0.4]], [7])
+    props = jnp.array([
+        [0.0, 0.0, 0.4, 0.4],
+        [0.0, 0.0, 0.4, 0.16],
+        [0.6, 0.6, 0.9, 0.9],
+        [0.0, 0.0, 0.0, 0.0],      # padded slot
+    ], jnp.float32)
+    pm = jnp.array([True, True, True, False])
+    res = M.match_proposals(props, pm, gt_b, gt_l, gt_m, fg_iou=0.5)
+    assert np.asarray(res.fg_mask).tolist() == [True, False, False, False]
+    assert np.asarray(res.bg_mask).tolist() == [False, True, True, False]
+
+
+def test_roi_band_no_gt_image_is_all_background_under_defaults():
+    gt_b, gt_l, gt_m = _pad_gt([], [])
+    props = jnp.array([[0.1, 0.1, 0.5, 0.5]], jnp.float32)
+    pm = jnp.ones((1,), bool)
+    res = M.match_proposals(props, pm, gt_b, gt_l, gt_m, fg_iou=0.5)
+    assert np.asarray(res.bg_mask).all()
+    # with a raised bg_lo the no-overlap proposal is ignored instead
+    res2 = M.match_proposals(props, pm, gt_b, gt_l, gt_m,
+                             fg_iou=0.5, bg_iou_hi=0.5, bg_iou_lo=0.1)
+    assert not np.asarray(res2.bg_mask).any()
+    assert not np.asarray(res2.fg_mask).any()

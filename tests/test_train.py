@@ -147,3 +147,39 @@ def test_no_ema_by_default():
     _, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
                                       dtype=jnp.float32)
     assert state.ema_params is None
+
+
+def test_difficult_gt_excluded_from_training_targets():
+    """Reference lineage: *difficult* VOC objects don't produce training
+    targets. With the default config the loss over a batch carrying a
+    difficult flag equals the loss with that gt's mask cleared, and differs
+    from the include_difficult=True loss."""
+    from x_detector_tpu.train.trainer import make_loss_fn
+
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    batch = get_batch(cfg)
+    difficult = np.zeros(batch["gt_mask"].shape, bool)
+    # flag the first valid gt of image 0 as difficult
+    first = int(np.argmax(np.asarray(batch["gt_mask"][0])))
+    assert bool(batch["gt_mask"][0, first])
+    difficult[0, first] = True
+    batch_d = dict(batch, difficult=jnp.asarray(difficult))
+
+    rng = jax.random.PRNGKey(1)
+    loss_fn = make_loss_fn(model, cfg)
+    loss_excl, _ = loss_fn(state.params, state.batch_stats, batch_d, rng)
+
+    batch_masked = dict(batch)
+    batch_masked["gt_mask"] = batch["gt_mask"] & ~jnp.asarray(difficult)
+    loss_manual, _ = loss_fn(state.params, state.batch_stats, batch_masked,
+                             rng)
+    np.testing.assert_allclose(float(loss_excl), float(loss_manual),
+                               rtol=1e-6)
+
+    cfg_inc = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, include_difficult=True))
+    loss_fn_inc = make_loss_fn(model, cfg_inc)
+    loss_inc, _ = loss_fn_inc(state.params, state.batch_stats, batch_d, rng)
+    assert abs(float(loss_inc) - float(loss_excl)) > 1e-6

@@ -95,7 +95,8 @@ def main(argv=None):
     def fetch():
         raw = next(it)
         return {k: jnp.asarray(v) for k, v in raw.items()
-                if k in ("image", "gt_boxes", "gt_labels", "gt_mask")}
+                if k in ("image", "gt_boxes", "gt_labels", "gt_mask",
+                         "difficult")}
 
     pending = pool.submit(fetch)
     eval_fn = None

@@ -121,6 +121,9 @@ class DataConfig:
     """Data + augmentation spec (SURVEY.md §2.2 P1–P4)."""
     image_size: int = 800
     max_gt_boxes: int = 100               # static pad for per-image gt
+    # *difficult* VOC objects are excluded from training targets by default
+    # (reference lineage; the eval metric handles them separately).
+    include_difficult: bool = False
     # aspect-preserving letterbox onto the square canvas (reference keeps
     # aspect via short-side resize; square-squash is the default divergence,
     # DESIGN.md §10). Boxes are re-normalized to canvas coordinates.

@@ -241,5 +241,11 @@ def preprocess_batch_for_train(key: jax.Array, batch: Dict[str, jnp.ndarray],
     """vmap'd train preprocessing over a host batch of canvas images."""
     keys = jax.random.split(key, batch["image"].shape[0])
     fn = functools.partial(preprocess_for_train, cfg=cfg)
-    return jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
-                        batch["gt_labels"], batch["gt_mask"])
+    out = jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
+                       batch["gt_labels"], batch["gt_mask"])
+    if "difficult" in batch:
+        # gt rows keep their slots through crop/flip (only the mask changes),
+        # so the per-row difficult flags stay aligned and pass through for
+        # the trainer's difficult-exclusion mask.
+        out["difficult"] = batch["difficult"]
+    return out

@@ -113,9 +113,16 @@ def generate_proposals(
 
 
 class RoIHead(nn.Module):
-    """Flatten pooled 7x7x10 -> FC2048 -> cls + class-agnostic box (N6)."""
+    """Flatten pooled 7x7x10 -> FC2048 -> cls + box regression (N6).
+
+    ``class_agnostic=True`` (Light-Head paper spec) emits one 4-vector per
+    roi; ``False`` emits the reference's per-class-regression variant
+    (SURVEY.md §2.4 N6 "verify class-agnostic vs per-class"): [R, C, 4],
+    trained on the target class's slice and decoded per class at inference.
+    """
     num_classes: int
     head_dim: int = 2048
+    class_agnostic: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -127,8 +134,11 @@ class RoIHead(nn.Module):
                              param_dtype=jnp.float32, name="fc")(flat))
         cls = nn.Dense(self.num_classes, dtype=self.dtype,
                        param_dtype=jnp.float32, name="cls")(h)
-        box = nn.Dense(4, dtype=self.dtype, param_dtype=jnp.float32,
+        box_dim = 4 if self.class_agnostic else 4 * self.num_classes
+        box = nn.Dense(box_dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="box")(h)
+        if not self.class_agnostic:
+            box = box.reshape(b, r, self.num_classes, 4)
         return cls.astype(jnp.float32), box.astype(jnp.float32)
 
 
@@ -152,7 +162,9 @@ class LightHeadRCNN(nn.Module):
             mid=cfg.large_sep_mid, out=cfg.thin_channels,
             k=cfg.large_sep_kernel, dtype=self.dtype)
         self.roi_head = RoIHead(num_classes=cfg.num_classes,
-                                head_dim=cfg.head_dim, dtype=self.dtype)
+                                head_dim=cfg.head_dim,
+                                class_agnostic=cfg.class_agnostic_box,
+                                dtype=self.dtype)
 
     def __call__(self, images: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -193,7 +205,13 @@ def lighthead_postprocess(outputs: Dict[str, jnp.ndarray],
     """
     probs = jax.nn.softmax(outputs["roi_cls"], axis=-1)
     fg_probs = probs[..., 1:] * outputs["proposal_valid"][..., None]
-    decoded = box_ops.decode(outputs["roi_box"], outputs["proposals"])
+    roi_box = outputs["roi_box"]
+    if roi_box.ndim == 4:   # [B, R, C, 4] per-class regression: drop the
+        # background slice and decode every class's codes vs its proposal.
+        decoded = box_ops.decode(roi_box[:, :, 1:, :],
+                                 outputs["proposals"][:, :, None, :])
+    else:                   # [B, R, 4] class-agnostic
+        decoded = box_ops.decode(roi_box, outputs["proposals"])
     decoded = box_ops.clip_boxes(decoded)
     ncfg = config.nms
     return nms_lib.batched_multiclass_nms(

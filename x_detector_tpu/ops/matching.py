@@ -93,17 +93,30 @@ def match_proposals(
     gt_labels: jnp.ndarray,      # [G]
     gt_mask: jnp.ndarray,        # [G]
     fg_iou: float = 0.5,
+    bg_iou_hi: float = 0.5,
+    bg_iou_lo: float = 0.0,
 ) -> MatchResult:
     """Second-stage (ROI head) target assignment for Light-Head training.
 
-    Proposals with IoU >= fg_iou to some gt are foreground with that gt's
-    class; all other *valid* proposals are background; padded proposals are
-    ignored (neither fg nor bg).
+    Proposals with IoU >= ``fg_iou`` to some gt are foreground with that gt's
+    class; valid proposals whose best IoU lies in the background band
+    ``[bg_iou_lo, bg_iou_hi)`` are background (Fast-R-CNN sampling band,
+    SURVEY.md §2.6 T1); everything else — padded proposals and valid ones in
+    the dead zone ``[bg_iou_hi, fg_iou)`` or below ``bg_iou_lo`` — is ignored
+    (neither fg nor bg) and must not contribute to the ROI loss.
+
+    With ``bg_iou_hi == fg_iou`` and ``bg_iou_lo == 0.0`` (the defaults)
+    every valid non-foreground proposal is background.
     """
     res = match_anchors(proposals, gt_boxes, gt_labels, gt_mask,
                         pos_iou=fg_iou, neg_iou=fg_iou, force_match=False)
     fg = res.fg_mask & proposal_mask
-    bg = res.bg_mask & proposal_mask
+    # An image with zero valid gt has matched_iou == -1 (the padding
+    # sentinel); clamp to 0 so such proposals land at IoU 0 — background
+    # under the default band, reference-faithfully ignored if bg_iou_lo > 0.
+    band_iou = jnp.maximum(res.matched_iou, 0.0)
+    bg = ((band_iou < bg_iou_hi) & (band_iou >= bg_iou_lo)
+          & proposal_mask & ~fg)
     labels = jnp.where(fg, res.labels, 0).astype(jnp.int32)
     reg = jnp.where(fg[:, None], res.reg_targets, 0.0)
     return MatchResult(matched_gt=res.matched_gt, matched_iou=res.matched_iou,

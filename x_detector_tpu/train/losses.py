@@ -101,11 +101,18 @@ def roi_loss_ohem(roi_cls: jnp.ndarray, roi_box: jnp.ndarray,
                                                Dict[str, jnp.ndarray]]:
     """Single-image ROI-head loss with OHEM (SURVEY.md §2.6 T1).
 
-    roi_cls [R, C], roi_box [R, 4] (class-agnostic), labels [R] int,
-    fg_mask/valid_mask [R] bool.  Per-roi loss = CE + fg * smooth-L1; only
-    the top-``ohem_topk`` highest-loss valid rois keep gradient.
+    roi_cls [R, C], roi_box [R, 4] (class-agnostic) or [R, C, 4] (per-class
+    regression, reference ``class_agnostic_box=False`` variant — the slice at
+    the target class is trained), labels [R] int, fg_mask/valid_mask [R]
+    bool; ``valid_mask`` is the loss-participation mask (fg ∪ bg — ignored
+    proposals, e.g. the IoU dead zone above the background band, are
+    excluded by the caller).  Per-roi loss = CE + fg * smooth-L1; only the
+    top-``ohem_topk`` highest-loss valid rois keep gradient.
     """
     cls_losses = softmax_ce(roi_cls, labels)
+    if roi_box.ndim == 3:  # [R, C, 4]: per-class regression
+        roi_box = jnp.take_along_axis(
+            roi_box, labels[:, None, None], axis=1).squeeze(1)
     loc_losses = smooth_l1(roi_box, reg_targets, sigma=sigma)
     per_roi = cls_losses + jnp.where(fg_mask, loc_losses, 0.0)
     per_roi = jnp.where(valid_mask, per_roi, 0.0)

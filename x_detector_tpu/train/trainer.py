@@ -34,6 +34,20 @@ def _mean_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: v.mean() for k, v in metrics.items()}
 
 
+def _train_gt_mask(batch: Batch, cfg: ExperimentConfig) -> jnp.ndarray:
+    """gt validity mask for training targets.
+
+    The reference lineage excludes *difficult* VOC objects from training
+    targets (they stay in eval, where the VOC metric ignores them); readers
+    emit a per-gt ``difficult`` flag, which is subtracted here unless
+    ``cfg.data.include_difficult`` opts back in.
+    """
+    mask = batch["gt_mask"]
+    if not cfg.data.include_difficult and "difficult" in batch:
+        mask = mask & ~batch["difficult"]
+    return mask
+
+
 # ---------------------------------------------------------------------------
 # SSD family
 # ---------------------------------------------------------------------------
@@ -55,7 +69,7 @@ def make_ssd_loss_fn(model: SSDModel, cfg: ExperimentConfig):
                 neg_iou=tcfg.ssd_match_iou, force_match=True)
 
         m = jax.vmap(match_one)(batch["gt_boxes"], batch["gt_labels"],
-                                batch["gt_mask"])
+                                _train_gt_mask(batch, cfg))
         per_image = jax.vmap(functools.partial(
             loss_lib.ssd_loss, neg_pos_ratio=tcfg.neg_pos_ratio))
         total, metrics = per_image(cls_logits, box_codes, m.labels,
@@ -98,6 +112,7 @@ def make_lighthead_loss_fn(model: LightHeadRCNN, cfg: ExperimentConfig):
 
         bsz = batch["image"].shape[0]
         rngs = jax.random.split(rng, bsz)
+        gt_mask = _train_gt_mask(batch, cfg)
 
         # --- RPN targets + loss (SURVEY.md §3.1: match 0.7/0.3, 256 sample)
         def rpn_one(key, gtb, gtl, gtm, cls, loc):
@@ -111,23 +126,28 @@ def make_lighthead_loss_fn(model: LightHeadRCNN, cfg: ExperimentConfig):
                                      fg_fraction=tcfg.rpn_fg_fraction)
 
         rpn_total, rpn_metrics = jax.vmap(rpn_one)(
-            rngs, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+            rngs, batch["gt_boxes"], batch["gt_labels"], gt_mask,
             out["rpn_cls"], out["rpn_loc"])
 
-        # --- ROI targets + OHEM loss over the (stop-grad) proposals
+        # --- ROI targets + OHEM loss over the (stop-grad) proposals.
+        # Loss participation = fg ∪ bg: proposals in the IoU dead zone
+        # [roi_bg_iou_hi, roi_fg_iou) — and below roi_bg_iou_lo — are
+        # ignored, per the reference's Fast-R-CNN sampling band.
         props = jax.lax.stop_gradient(out["proposals"])
         pvalid = out["proposal_valid"]
 
         def roi_one(p, pv, gtb, gtl, gtm, cls, box):
             m = matching.match_proposals(p, pv, gtb, gtl, gtm,
-                                         fg_iou=tcfg.roi_fg_iou)
+                                         fg_iou=tcfg.roi_fg_iou,
+                                         bg_iou_hi=tcfg.roi_bg_iou_hi,
+                                         bg_iou_lo=tcfg.roi_bg_iou_lo)
             return loss_lib.roi_loss_ohem(cls, box, m.labels, m.reg_targets,
-                                          m.fg_mask, pv,
+                                          m.fg_mask, m.fg_mask | m.bg_mask,
                                           ohem_topk=tcfg.ohem_topk)
 
         roi_total, roi_metrics = jax.vmap(roi_one)(
             props, pvalid, batch["gt_boxes"], batch["gt_labels"],
-            batch["gt_mask"], out["roi_cls"], out["roi_box"])
+            gt_mask, out["roi_cls"], out["roi_box"])
 
         total = rpn_total.mean() + roi_total.mean()
         metrics = {**_mean_metrics(rpn_metrics), **_mean_metrics(roi_metrics)}
