@@ -191,3 +191,37 @@ def test_device_synthetic_generator():
     b2 = jax.jit(lambda k: synthetic_batch_device(k, 2, 64, max_gt=8))(
         jax.random.PRNGKey(0))
     assert (np.asarray(b2["image"]) == img).all()
+
+
+def test_crop_sampler_letterbox_content_region():
+    """With box_scale=[fy,fx] crops stay inside the content region and the
+    area constraint is relative to the content, not the canvas (ADVICE r1:
+    crops must never land in letterbox zero-padding)."""
+    from x_detector_tpu.config import DataConfig
+    cfg = DataConfig(image_size=64, min_object_covered=0.0,
+                     area_range=(0.4, 0.6), aspect_ratio_range=(0.8, 1.25),
+                     crop_attempts=20)
+    fy, fx = 0.6, 1.0
+    bs = jnp.asarray([fy, fx], jnp.float32)
+    gtb = jnp.asarray([[0.1, 0.1, 0.5, 0.5]], jnp.float32)
+    gtm = jnp.ones((1,), bool)
+    for i in range(40):
+        crop = np.asarray(A.sample_distorted_box(
+            jax.random.PRNGKey(i), gtb, gtm, cfg, bs))
+        assert crop[0] >= -1e-6 and crop[1] >= -1e-6
+        assert crop[2] <= fy + 1e-6 and crop[3] <= fx + 1e-6
+        frac = ((crop[2] - crop[0]) * (crop[3] - crop[1])) / (fy * fx)
+        # whole-content fallback has frac 1.0; sampled crops in [0.4, 0.6]
+        assert (0.4 - 1e-5 <= frac <= 0.6 + 1e-5) or abs(frac - 1.0) < 1e-5
+
+
+def test_crop_sampler_letterbox_fallback_is_content_region():
+    from x_detector_tpu.config import DataConfig
+    # impossible constraint -> fallback must be the content region
+    cfg = DataConfig(image_size=64, min_object_covered=1.0,
+                     area_range=(0.01, 0.02), crop_attempts=5)
+    fy, fx = 0.5, 1.0
+    crop = np.asarray(A.sample_distorted_box(
+        jax.random.PRNGKey(0), jnp.asarray([[0.0, 0.0, 0.5, 1.0]]),
+        jnp.ones((1,), bool), cfg, jnp.asarray([fy, fx], jnp.float32)))
+    np.testing.assert_allclose(crop, [0.0, 0.0, fy, fx], atol=1e-6)

@@ -142,11 +142,17 @@ def test_ema_shadow_tracks_params():
                                atol=1e-6)
 
 
-def test_no_ema_by_default():
-    cfg = small_ssd_cfg()
+def test_ema_preset_contract():
+    """Base TrainConfig keeps EMA off; the ssd preset enables it (and so the
+    state carries a shadow), lighthead presets don't."""
+    from x_detector_tpu.config import lighthead_resnet50
+    assert TrainConfig().ema_decay == 0.0
+    assert ssd_resnet50().train.ema_decay > 0.0
+    assert lighthead_resnet50().train.ema_decay == 0.0
+    cfg = small_ssd_cfg()  # inherits the ssd preset's ema_decay
     _, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
                                       dtype=jnp.float32)
-    assert state.ema_params is None
+    assert state.ema_params is not None
 
 
 def test_difficult_gt_excluded_from_training_targets():
@@ -183,3 +189,73 @@ def test_difficult_gt_excluded_from_training_targets():
     loss_fn_inc = make_loss_fn(model, cfg_inc)
     loss_inc, _ = loss_fn_inc(state.params, state.batch_stats, batch_d, rng)
     assert abs(float(loss_inc) - float(loss_excl)) > 1e-6
+
+
+def test_checkpoint_ema_reconcile_both_directions(tmp_path):
+    """A checkpoint saved with an EMA shadow restores into a no-EMA state
+    (shadow adopted, frozen) and vice versa (shadow re-initialized from the
+    restored params) — no Orbax template-mismatch errors (ADVICE round 1)."""
+    import optax
+    import warnings as w
+    from x_detector_tpu.train.train_state import TrainState
+
+    tx = optax.sgd(1e-2)
+    params = {"w": jnp.ones((2, 2))}
+
+    # save WITH ema, restore into a state WITHOUT
+    s_ema = TrainState.create(params=params, batch_stats={}, tx=tx,
+                              ema_decay=0.9)
+    s_ema = s_ema.replace(ema_params={"w": jnp.full((2, 2), 7.0)})
+    mgr = CheckpointManager(str(tmp_path / "a"))
+    mgr.save(1, s_ema); mgr.wait(); mgr.close()
+    # restore through a FRESH manager (the eval/predict/export CLI path,
+    # where item_metadata is not resolvable in-process)
+    mgr = CheckpointManager(str(tmp_path / "a"))
+    s_plain = TrainState.create(params={"w": jnp.zeros((2, 2))},
+                                batch_stats={}, tx=tx, ema_decay=0.0)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        restored, _ = mgr.restore(s_plain)
+    assert any("EMA" in str(r.message) for r in rec)
+    np.testing.assert_allclose(np.asarray(restored.ema_params["w"]), 7.0)
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 1.0)
+    # the adopted shadow stays frozen under ema_decay=0
+    g = {"w": jnp.ones((2, 2))}
+    stepped = restored.apply_gradients(g)
+    np.testing.assert_allclose(np.asarray(stepped.ema_params["w"]), 7.0)
+    mgr.close()
+
+    # save WITHOUT ema, restore into a state WITH
+    s_plain2 = TrainState.create(params={"w": jnp.full((2, 2), 3.0)},
+                                 batch_stats={}, tx=tx, ema_decay=0.0)
+    mgr2 = CheckpointManager(str(tmp_path / "b"))
+    mgr2.save(1, s_plain2); mgr2.wait(); mgr2.close()
+    mgr2 = CheckpointManager(str(tmp_path / "b"))
+    s_ema2 = TrainState.create(params={"w": jnp.zeros((2, 2))},
+                               batch_stats={}, tx=tx, ema_decay=0.9)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        restored2, _ = mgr2.restore(s_ema2)
+    assert any("EMA" in str(r.message) for r in rec)
+    np.testing.assert_allclose(np.asarray(restored2.params["w"]), 3.0)
+    np.testing.assert_allclose(np.asarray(restored2.ema_params["w"]), 3.0)
+    mgr2.close()
+
+
+def test_eval_variables_prefers_ema():
+    import optax
+    from x_detector_tpu.cli.common import eval_variables
+    from x_detector_tpu.train.train_state import TrainState
+
+    tx = optax.sgd(1e-2)
+    s = TrainState.create(params={"w": jnp.zeros(2)}, batch_stats={"m": 1},
+                          tx=tx, ema_decay=0.9)
+    s = s.replace(ema_params={"w": jnp.ones(2)})
+    assert float(eval_variables(s)["params"]["w"][0]) == 1.0          # auto
+    assert float(eval_variables(s, False)["params"]["w"][0]) == 0.0   # raw
+    assert float(eval_variables(s, True)["params"]["w"][0]) == 1.0    # forced
+    s0 = TrainState.create(params={"w": jnp.zeros(2)}, batch_stats={}, tx=tx)
+    assert float(eval_variables(s0)["params"]["w"][0]) == 0.0
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        eval_variables(s0, True)

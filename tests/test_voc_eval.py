@@ -85,3 +85,19 @@ def test_iou_exactly_half_counts():
     ev.add_detections("img1", _box(0.0, 0.2, 0.4, 0.6), [0.9], [1])
     res = ev.evaluate()
     assert res["per_class_ap"][1] == 0.0
+
+
+def test_duplicate_ground_truth_registration_ignored():
+    """Registering the same image twice must not inflate the recall
+    denominator (ADVICE round 1)."""
+    import warnings as w
+    ev = VOCEvaluator(num_classes=2)
+    gt_b = np.array([[0.1, 0.1, 0.5, 0.5]])
+    ev.add_ground_truth("img0", gt_b, np.array([1]))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        ev.add_ground_truth("img0", gt_b, np.array([1]))
+    assert any("duplicate" in str(r.message) for r in rec)
+    ev.add_detections("img0", gt_b, np.array([0.9]), np.array([1]))
+    res = ev.evaluate()
+    np.testing.assert_allclose(res["mAP"], 1.0, rtol=1e-9)

@@ -23,9 +23,35 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model-dir", default="/tmp/xdet_model",
                    help="checkpoint/metrics directory")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--letterbox", action="store_true",
-                   help="aspect-preserving canvas placement (default: "
-                        "square resize)")
+    p.add_argument("--letterbox", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="aspect-preserving canvas placement (default: the "
+                        "preset's choice — on for lighthead presets; "
+                        "--no-letterbox forces square squash)")
+    p.add_argument("--use-ema", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="evaluate/serve the EMA shadow weights (default: "
+                        "auto — use EMA whenever the checkpoint carries one; "
+                        "--no-use-ema forces the raw params)")
+
+
+def eval_variables(state, use_ema=None):
+    """Model variables for eval/export/predict.
+
+    ``use_ema=None`` (auto) prefers the EMA shadow whenever the state carries
+    one — the reference's T5 EMA semantics, where the averaged weights are
+    the ones served.  ``True`` requires a shadow; ``False`` forces raw params.
+    """
+    if use_ema is None:
+        use_ema = state.ema_params is not None
+    if use_ema:
+        assert state.ema_params is not None, (
+            "--use-ema requested but the checkpoint carries no EMA shadow "
+            "(train with ema_decay > 0)")
+        params = state.ema_params
+    else:
+        params = state.params
+    return {"params": params, "batch_stats": state.batch_stats}
 
 
 def resolve_config(args) -> ExperimentConfig:
@@ -36,9 +62,10 @@ def resolve_config(args) -> ExperimentConfig:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            batch_size=args.batch_size))
-    if getattr(args, "letterbox", False):
+    if getattr(args, "letterbox", None) is not None:
         cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, letterbox=True))
+            cfg, data=dataclasses.replace(cfg.data,
+                                          letterbox=args.letterbox))
     return cfg
 
 

@@ -109,7 +109,9 @@ def main(argv=None):
     else:
         print("WARNING: no checkpoint found, evaluating random init")
     ckpt.close()
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = common.eval_variables(state, args.use_ema)
+    if variables["params"] is state.ema_params:
+        print("evaluating EMA shadow weights")
 
     it = common.batch_iterator(args, cfg, training=False)
     res = run_eval(model, variables, cfg, it, args.num_batches,

@@ -17,7 +17,10 @@ Reload:
 Input convention: with ``--raw-rgb`` the artifact takes raw [0, 255] RGB at
 the model input size (preprocessing is baked in — recommended for serving);
 without it, inputs must already be eval-preprocessed (resized + VGG-mean
-whitened), matching what `build_eval_fn` consumes.
+whitened), matching what `build_eval_fn` consumes.  For letterbox configs
+(lighthead presets) the raw-RGB artifact takes a second ``box_scale``
+[B, 2] input (= [fy, fx] content fraction after client-side letterboxing)
+and returns boxes already unscaled to original-image normalized coords.
 """
 
 from __future__ import annotations
@@ -58,29 +61,52 @@ def main(argv=None):
     else:
         print("WARNING: no checkpoint found, exporting random init")
     ckpt.close()
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = common.eval_variables(state, args.use_ema)
+    if variables["params"] is state.ema_params:
+        print("exporting EMA shadow weights")
 
     eval_fn = build_eval_fn(model, cfg)
-
-    if args.raw_rgb:
-        def serving_fn(images):
-            whitened = jax.vmap(
-                lambda im: preprocess_for_eval(im, cfg.data))(images)
-            return eval_fn(variables, whitened)
-    else:
-        def serving_fn(images):
-            return eval_fn(variables, images)
 
     size = cfg.model.image_size
     spec = jax.ShapeDtypeStruct((args.batch, size, size, 3), jnp.float32)
     from jax import export as jexport
-    exported = jexport.export(jax.jit(serving_fn))(spec)
+
+    if args.raw_rgb and cfg.data.letterbox:
+        # Letterbox-trained model: the client letterboxes the raw image onto
+        # the square canvas (uniform scale, top-left placement) and passes
+        # box_scale=[fy, fx] (content fraction per image); the artifact
+        # whitens, detects, and unscales boxes back to original-image
+        # normalized coordinates — the geometry cannot silently drift.
+        def serving_fn(images, box_scale):
+            whitened = jax.vmap(
+                lambda im: preprocess_for_eval(im, cfg.data))(images)
+            boxes, scores, classes, valid = eval_fn(variables, whitened)
+            s = box_scale[:, None, [0, 1, 0, 1]]            # [B, 1, 4]
+            boxes = jnp.clip(boxes / jnp.maximum(s, 1e-6), 0.0, 1.0)
+            return boxes, scores, classes, valid
+        scale_spec = jax.ShapeDtypeStruct((args.batch, 2), jnp.float32)
+        exported = jexport.export(jax.jit(serving_fn))(spec, scale_spec)
+        input_desc = (f"inputs letterboxed [{args.batch}, {size}, {size}, 3] "
+                      f"float32 + box_scale [{args.batch}, 2]")
+    elif args.raw_rgb:
+        def serving_fn(images):
+            whitened = jax.vmap(
+                lambda im: preprocess_for_eval(im, cfg.data))(images)
+            return eval_fn(variables, whitened)
+        exported = jexport.export(jax.jit(serving_fn))(spec)
+        input_desc = f"input [{args.batch}, {size}, {size}, 3] float32"
+    else:
+        def serving_fn(images):
+            return eval_fn(variables, images)
+        exported = jexport.export(jax.jit(serving_fn))(spec)
+        input_desc = (f"input [{args.batch}, {size}, {size}, 3] float32 "
+                      "(pre-whitened)")
+
     blob = exported.serialize()
     with open(args.output, "wb") as f:
         f.write(blob)
     print(f"wrote {len(blob) / 1e6:.1f} MB -> {args.output} "
-          f"(input [{args.batch}, {size}, {size}, 3] float32; outputs "
-          f"boxes/scores/classes/valid)")
+          f"({input_desc}; outputs boxes/scores/classes/valid)")
 
 
 if __name__ == "__main__":

@@ -61,7 +61,7 @@ def main(argv=None):
     else:
         print("WARNING: no checkpoint found, predicting with random init")
     ckpt.close()
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = common.eval_variables(state, args.use_ema)
 
     eval_fn = build_eval_fn(model, cfg)
     inp = preprocess_for_eval(jnp.asarray(img_for_model), cfg.data)[None]

@@ -96,7 +96,7 @@ def main(argv=None):
         raw = next(it)
         return {k: jnp.asarray(v) for k, v in raw.items()
                 if k in ("image", "gt_boxes", "gt_labels", "gt_mask",
-                         "difficult")}
+                         "difficult", "box_scale")}
 
     pending = pool.submit(fetch)
     eval_fn = None
@@ -121,8 +121,9 @@ def main(argv=None):
             from x_detector_tpu.cli.evaluate import build_eval_fn, run_eval
             if eval_fn is None:  # build (and jit) once, reuse across evals
                 eval_fn = build_eval_fn(model, cfg)
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
+            # Periodic eval prefers the EMA shadow when one is maintained
+            # (reference T5 semantics: the averaged weights are evaluated).
+            variables = common.eval_variables(state)
             eval_it = common.batch_iterator(args, cfg, training=False)
             res = run_eval(model, variables, cfg, eval_it,
                            args.eval_batches, eval_fn=eval_fn)

@@ -185,11 +185,15 @@ class ExperimentConfig:
 # ---------------------------------------------------------------------------
 
 def lighthead_resnet50(image_size: int = 800) -> ExperimentConfig:
-    """BASELINE configs 1/4/5: Light-Head R-CNN, ResNet-50 backbone."""
+    """BASELINE configs 1/4/5: Light-Head R-CNN, ResNet-50 backbone.
+
+    Letterbox is the default: the reference evaluates Light-Head at a fixed
+    short side (aspect preserved, SURVEY.md §2.2 P3); the square-squash
+    alternative stays available via letterbox=False."""
     return ExperimentConfig(
         model=ModelConfig(name="lighthead_resnet50", backbone="resnet50",
                           family="lighthead", image_size=image_size),
-        data=DataConfig(image_size=image_size),
+        data=DataConfig(image_size=image_size, letterbox=True),
         train=TrainConfig(batch_size=8),
     )
 
@@ -200,7 +204,7 @@ def lighthead_xception(image_size: int = 800) -> ExperimentConfig:
         model=ModelConfig(name="lighthead_xception", backbone="xception_lite",
                           family="lighthead", image_size=image_size,
                           large_sep_mid=64),
-        data=DataConfig(image_size=image_size),
+        data=DataConfig(image_size=image_size, letterbox=True),
         train=TrainConfig(batch_size=16),
     )
 
@@ -213,7 +217,9 @@ def ssd_resnet50(image_size: int = 512) -> ExperimentConfig:
                           nms=NMSConfig(iou_threshold=0.45,
                                         score_threshold=0.01, max_output=200)),
         data=DataConfig(image_size=image_size),
-        train=TrainConfig(batch_size=8),
+        # EMA shadow maintained and served by default for the single-shot
+        # preset (reference T5 "maybe EMA"; eval/export prefer the shadow).
+        train=TrainConfig(batch_size=8, ema_decay=0.999),
     )
 
 

@@ -11,11 +11,12 @@ Key reconstructions:
     fixed ``attempts``-trial vmap'd sampler — each trial draws (aspect, area,
     offset), checks the ``min_object_covered`` constraint against the gt
     boxes, and the first valid trial wins; all-invalid falls back to the
-    whole image (TF semantics, SURVEY.md §7 hard part 3).  NOTE: crops are
-    sampled on the square host canvas, so for non-square source images the
-    aspect/area constraints act in canvas space, not original-pixel space —
-    a deliberate divergence tied to the square-input design (DESIGN.md §10);
-    revisit together with letterbox preprocessing.
+    whole image (TF semantics, SURVEY.md §7 hard part 3).  With letterbox
+    canvases (``box_scale`` threaded through), crops are confined to the
+    content region and the area/aspect constraints act in original-image
+    space — the TF-faithful distribution.  Without letterbox (square
+    squash), constraints act in canvas space: a deliberate divergence tied
+    to the square-input design (DESIGN.md §10).
   * **Crop+resize**: separable triangular-kernel interpolation expressed as
     two dense contractions (same machinery as PSROIAlign) — lowers onto the
     MXU instead of a gather.
@@ -45,29 +46,44 @@ from x_detector_tpu.ops import boxes as box_ops
 # ---------------------------------------------------------------------------
 
 def sample_distorted_box(key: jax.Array, gt_boxes: jnp.ndarray,
-                         gt_mask: jnp.ndarray, cfg: DataConfig) -> jnp.ndarray:
-    """Sample one crop window [ymin, xmin, ymax, xmax] (normalized).
+                         gt_mask: jnp.ndarray, cfg: DataConfig,
+                         box_scale=None) -> jnp.ndarray:
+    """Sample one crop window [ymin, xmin, ymax, xmax] (canvas-normalized).
 
     TF ``sample_distorted_bounding_box`` semantics with a fixed trial count:
     a trial is valid iff its aspect/area land in range, it fits the image,
     and it covers >= ``min_object_covered`` of at least one valid gt box.
-    Returns the first valid trial's window, else the whole image.
+    Returns the first valid trial's window, else the whole content region.
+
+    ``box_scale`` = [fy, fx], the letterbox content fraction of the canvas
+    (None / [1, 1] for square-squash canvases).  With letterbox the canvas
+    scaling is uniform, so canvas pixel aspect == original pixel aspect and
+    the aspect constraint needs no correction; the area constraint is taken
+    relative to the *content* area (TF semantics: fraction of the image),
+    crops are confined to the content region, and the fallback is the whole
+    content region — crops can never land in the zero padding.
     """
     n = cfg.crop_attempts
+    if box_scale is None:
+        fy = fx = jnp.float32(1.0)
+    else:
+        fy, fx = box_scale[0], box_scale[1]
     k_aspect, k_area, k_y, k_x = jax.random.split(key, 4)
     lo_a, hi_a = cfg.aspect_ratio_range
     # TF samples the aspect ratio uniformly in [min, max] (not log-uniform).
     aspect = jax.random.uniform(k_aspect, (n,), minval=lo_a, maxval=hi_a)
     area = jax.random.uniform(k_area, (n,), minval=cfg.area_range[0],
                               maxval=cfg.area_range[1])
-    # h * w = area, w / h = aspect  =>  h = sqrt(area/aspect)
-    h = jnp.sqrt(area / aspect)
-    w = jnp.sqrt(area * aspect)
-    fits = (h <= 1.0) & (w <= 1.0)
-    h = jnp.minimum(h, 1.0)
-    w = jnp.minimum(w, 1.0)
-    y0 = jax.random.uniform(k_y, (n,)) * (1.0 - h)
-    x0 = jax.random.uniform(k_x, (n,)) * (1.0 - w)
+    # Content-relative area: h * w = area * fy * fx; canvas-pixel aspect
+    # (== original aspect under uniform letterbox scaling): w / h = aspect.
+    content = fy * fx
+    h = jnp.sqrt(area * content / aspect)
+    w = jnp.sqrt(area * content * aspect)
+    fits = (h <= fy) & (w <= fx)
+    h = jnp.minimum(h, fy)
+    w = jnp.minimum(w, fx)
+    y0 = jax.random.uniform(k_y, (n,)) * (fy - h)
+    x0 = jax.random.uniform(k_x, (n,)) * (fx - w)
     crops = jnp.stack([y0, x0, y0 + h, x0 + w], axis=-1)          # [n, 4]
 
     # coverage: fraction of each gt box covered by each crop  [n, G]
@@ -80,7 +96,7 @@ def sample_distorted_box(key: jax.Array, gt_boxes: jnp.ndarray,
     valid = fits & ok_cover
 
     first = jnp.argmax(valid)               # first True (0 if none)
-    fallback = jnp.array([0.0, 0.0, 1.0, 1.0], crops.dtype)
+    fallback = jnp.stack([jnp.float32(0.0), jnp.float32(0.0), fy, fx])
     return jnp.where(valid.any(), crops[first], fallback)
 
 
@@ -203,12 +219,18 @@ def distort_color(key: jax.Array, img: jnp.ndarray,
 def preprocess_for_train(key: jax.Array, image: jnp.ndarray,
                          gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
                          gt_mask: jnp.ndarray,
-                         cfg: DataConfig) -> Dict[str, jnp.ndarray]:
+                         cfg: DataConfig,
+                         box_scale=None) -> Dict[str, jnp.ndarray]:
     """image [H, W, 3] float32 RGB in [0, 255] -> augmented training example
-    at cfg.image_size with boxes/labels adjusted into the crop frame."""
+    at cfg.image_size with boxes/labels adjusted into the crop frame.
+
+    ``box_scale`` [fy, fx] marks the letterbox content region of the canvas;
+    crops sample inside it, so the training example never contains letterbox
+    padding and gt boxes come out in crop-frame coordinates (the example's
+    own box_scale is the identity)."""
     k_crop, k_color, k_flip = jax.random.split(key, 3)
 
-    crop = sample_distorted_box(k_crop, gt_boxes, gt_mask, cfg)
+    crop = sample_distorted_box(k_crop, gt_boxes, gt_mask, cfg, box_scale)
     new_boxes, new_mask = transform_boxes_to_crop(
         gt_boxes, gt_mask, crop, min_center_coverage=cfg.box_keep_coverage)
     img = crop_and_resize(image, crop, cfg.image_size)         # [S, S, 3]
@@ -241,8 +263,13 @@ def preprocess_batch_for_train(key: jax.Array, batch: Dict[str, jnp.ndarray],
     """vmap'd train preprocessing over a host batch of canvas images."""
     keys = jax.random.split(key, batch["image"].shape[0])
     fn = functools.partial(preprocess_for_train, cfg=cfg)
-    out = jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
-                       batch["gt_labels"], batch["gt_mask"])
+    if "box_scale" in batch:  # letterbox canvases: crop inside the content
+        out = jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
+                           batch["gt_labels"], batch["gt_mask"],
+                           batch["box_scale"])
+    else:
+        out = jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
+                           batch["gt_labels"], batch["gt_mask"])
     if "difficult" in batch:
         # gt rows keep their slots through crop/flip (only the mask changes),
         # so the per-row difficult flags stay aligned and pass through for

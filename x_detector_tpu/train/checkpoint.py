@@ -9,6 +9,7 @@ stats, and the data-iterator position so training resumes deterministically.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import orbax.checkpoint as ocp
@@ -18,11 +19,42 @@ from x_detector_tpu.train.train_state import TrainState
 
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = 5):
+        self._dir = os.path.abspath(directory)
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            self._dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, create=True, enable_async_checkpointing=True),
         )
+
+    def _ckpt_state_keys(self, step: int) -> Optional[set]:
+        """Top-level keys of the saved ``state`` dict, or None if unknown.
+
+        The step's ``_METADATA`` tree manifest on disk is tried first (works
+        from any process); ``item_metadata`` — which resolves only on a
+        manager that has saved in-process — is the fallback.
+        """
+        import ast
+        import json
+        path = os.path.join(self._dir, str(step), "default", "_METADATA")
+        try:
+            with open(path) as f:
+                tree = json.load(f)["tree_metadata"]
+            keys = set()
+            for k in tree:
+                t = ast.literal_eval(k)
+                if len(t) >= 2 and t[0] == "state":
+                    keys.add(t[1])
+            if keys:
+                return keys
+        except Exception:
+            pass
+        try:
+            meta = self._mgr.item_metadata(step)
+            if meta is not None:
+                return set(meta["state"].keys())
+        except Exception:
+            pass
+        return None
 
     def save(self, step: int, state: TrainState,
              data_state: Optional[dict] = None) -> None:
@@ -34,12 +66,40 @@ class CheckpointManager:
 
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> tuple[TrainState, dict]:
+        """Restore into ``state``, reconciling EMA config drift.
+
+        A checkpoint saved with an EMA shadow restores cleanly into a state
+        created with ``ema_decay=0`` (the shadow is adopted, with a warning
+        that it will stay frozen), and a no-EMA checkpoint restores into an
+        EMA-enabled state (the shadow re-initializes from the restored
+        params) — instead of an Orbax template-mismatch error.
+        """
         step = self.latest_step() if step is None else step
         assert step is not None, "no checkpoint to restore"
         template = {"state": _strip_tx(state), "data_state": {"position": 0}}
+        ckpt_keys = self._ckpt_state_keys(step)
+        state_has_ema = state.ema_params is not None
+        # Unknown structure (very old checkpoint layout): assume it matches
+        # the state — the pre-reconcile behavior.
+        ckpt_has_ema = (state_has_ema if ckpt_keys is None
+                        else "ema_params" in ckpt_keys)
+        if ckpt_has_ema and not state_has_ema:
+            template["state"]["ema_params"] = state.params
+            warnings.warn(
+                "checkpoint carries an EMA shadow but this state was created "
+                "with ema_decay=0: adopting the shadow (it will NOT update "
+                "if training continues)")
+        elif state_has_ema and not ckpt_has_ema:
+            del template["state"]["ema_params"]
+            warnings.warn(
+                "state expects an EMA shadow but the checkpoint has none: "
+                "re-initializing the shadow from the restored params")
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
-        new = state.replace(**restored["state"])
+        fields = dict(restored["state"])
+        if state_has_ema and not ckpt_has_ema:
+            fields["ema_params"] = fields["params"]
+        new = state.replace(**fields)
         return new, restored.get("data_state", {})
 
     def latest_step(self) -> Optional[int]:

@@ -28,7 +28,9 @@ class TrainState:
                                                 self.params)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
-        if self.ema_params is not None:
+        # decay 0 freezes an adopted shadow (checkpoint-reconcile case)
+        # instead of collapsing it onto the raw params every step.
+        if self.ema_params is not None and self.ema_decay > 0:
             d = self.ema_decay
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p,
@@ -46,7 +48,9 @@ class TrainState:
     def create(cls, params, batch_stats, tx: optax.GradientTransformation,
                ema_decay: float = 0.0) -> "TrainState":
         import jax.numpy as jnp
-        ema = (jax.tree_util.tree_map(lambda p: p, params)
+        # The shadow must be a genuine copy: aliasing the params buffers
+        # makes any donating jit ("donate the same buffer twice") explode.
+        ema = (jax.tree_util.tree_map(jnp.array, params)
                if ema_decay > 0 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats, opt_state=tx.init(params),

@@ -13,6 +13,7 @@ Pure numpy, host-side (evaluation is not a jit surface).
 from __future__ import annotations
 
 import collections
+import warnings
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -68,12 +69,21 @@ class VOCEvaluator:
         self.iou_threshold = iou_threshold
         self.use_07_metric = use_07_metric
         self._gt: Dict[Tuple[str, int], Dict[str, np.ndarray]] = {}
+        self._gt_images: set = set()
         self._dets: Dict[int, List[Tuple[str, float, np.ndarray]]] = (
             collections.defaultdict(list))
         self._npos = np.zeros(num_classes + 1, np.int64)
 
     def add_ground_truth(self, image_id: str, boxes, labels,
                          difficult=None) -> None:
+        if image_id in self._gt_images:
+            # Re-registering an image would overwrite the (image, class) gt
+            # entry yet increment the recall denominator again, silently
+            # depressing mAP (e.g. an eval loop over a repeating iterator).
+            warnings.warn(f"duplicate ground truth for image {image_id!r} "
+                          "ignored (already registered)")
+            return
+        self._gt_images.add(image_id)
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         labels = np.asarray(labels, np.int64).reshape(-1)
         difficult = (np.zeros(len(labels), bool) if difficult is None
