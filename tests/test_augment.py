@@ -225,3 +225,24 @@ def test_crop_sampler_letterbox_fallback_is_content_region():
         jax.random.PRNGKey(0), jnp.asarray([[0.0, 0.0, 0.5, 1.0]]),
         jnp.ones((1,), bool), cfg, jnp.asarray([fy, fx], jnp.float32)))
     np.testing.assert_allclose(crop, [0.0, 0.0, fy, fx], atol=1e-6)
+
+
+def test_preprocess_batch_threads_box_scale_and_difficult():
+    from x_detector_tpu.config import DataConfig
+    cfg = DataConfig(image_size=32, max_gt_boxes=4)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 255, (2, 48, 48, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray([[[0.1, 0.1, 0.4, 0.4]] + [[0.0] * 4] * 3] * 2,
+                                jnp.float32),
+        "gt_labels": jnp.asarray([[2, 0, 0, 0]] * 2, jnp.int32),
+        "gt_mask": jnp.asarray([[True, False, False, False]] * 2),
+        "difficult": jnp.asarray([[False, False, False, False],
+                                  [True, False, False, False]]),
+        "box_scale": jnp.asarray([[1.0, 1.0], [0.5, 1.0]], jnp.float32),
+    }
+    out = A.preprocess_batch_for_train(jax.random.PRNGKey(0), batch, cfg)
+    assert out["image"].shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(out["difficult"]),
+                                  np.asarray(batch["difficult"]))
+    assert (np.asarray(out["gt_boxes"]) <= 1.0 + 1e-6).all()

@@ -70,13 +70,19 @@ def resolve_config(args) -> ExperimentConfig:
 
 
 def batch_iterator(args, cfg: ExperimentConfig, training: bool,
-                   canvas_size: Optional[int] = None
+                   canvas_size: Optional[int] = None,
+                   start_batch: int = 0
                    ) -> Iterator[Dict[str, np.ndarray]]:
     """TFRecord batches if --data-dir given, else synthetic batches.
 
     For TFRecord data the native C++ loader (data/native_loader.py) is
     preferred — threaded decode with no TF dependency; the tf.data reader
     is the fallback when the shared library cannot be built.
+
+    ``start_batch`` resumes a deterministic stream at that batch position:
+    O(1) for the native loader (position-addressable index) and synthetic
+    data; the tf.data fallback replays (decode-and-drop) the skipped
+    batches, which is correct but slow — documented cost of the fallback.
     """
     canvas = canvas_size or cfg.model.image_size
     if args.data_dir:
@@ -93,7 +99,9 @@ def batch_iterator(args, cfg: ExperimentConfig, training: bool,
                                 batch_size=cfg.train.batch_size,
                                 shuffle=training, seed=args.seed,
                                 repeat=training,
-                                letterbox=cfg.data.letterbox)
+                                letterbox=cfg.data.letterbox,
+                                start_example=start_batch
+                                * cfg.train.batch_size)
 
         from x_detector_tpu.data import tfrecord as tfr
         ds = tfr.make_dataset(shards, canvas_size=canvas,
@@ -102,7 +110,12 @@ def batch_iterator(args, cfg: ExperimentConfig, training: bool,
                               shuffle=training, seed=args.seed,
                               repeat=training,
                               letterbox=cfg.data.letterbox)
+        if start_batch:
+            ds = ds.skip(start_batch)
         return tfr.as_numpy_iterator(ds)
     from x_detector_tpu.data.synthetic import synthetic_batches
-    return synthetic_batches(args.seed, cfg.train.batch_size, canvas,
-                             cfg.data.max_gt_boxes)
+    it = synthetic_batches(args.seed, cfg.train.batch_size, canvas,
+                           cfg.data.max_gt_boxes)
+    for _ in range(start_batch):  # synthetic generator: cheap skip
+        next(it)
+    return it

@@ -77,11 +77,10 @@ def main(argv=None):
 
     # Host canvas is larger than the train crop so crops have context.
     canvas = int(cfg.model.image_size * 1.2)
-    it = common.batch_iterator(args, cfg, training=True, canvas_size=canvas)
-    for _ in range(start_position):  # deterministic resume of synthetic data
-        if args.data_dir:
-            break  # TFRecord shuffle stream: position skip not required
-        next(it)
+    # Deterministic resume: every data source (native loader, tf.data,
+    # synthetic) continues its exact stream from the checkpointed position.
+    it = common.batch_iterator(args, cfg, training=True, canvas_size=canvas,
+                               start_batch=start_position)
 
     aug_rng = jax.random.PRNGKey(args.seed + 1)
     position = start_position

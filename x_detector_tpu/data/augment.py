@@ -262,12 +262,14 @@ def preprocess_batch_for_train(key: jax.Array, batch: Dict[str, jnp.ndarray],
                                cfg: DataConfig) -> Dict[str, jnp.ndarray]:
     """vmap'd train preprocessing over a host batch of canvas images."""
     keys = jax.random.split(key, batch["image"].shape[0])
-    fn = functools.partial(preprocess_for_train, cfg=cfg)
     if "box_scale" in batch:  # letterbox canvases: crop inside the content
+        fn = lambda k, im, b, l, m, s: preprocess_for_train(
+            k, im, b, l, m, cfg, s)
         out = jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
                            batch["gt_labels"], batch["gt_mask"],
                            batch["box_scale"])
     else:
+        fn = functools.partial(preprocess_for_train, cfg=cfg)
         out = jax.vmap(fn)(keys, batch["image"], batch["gt_boxes"],
                            batch["gt_labels"], batch["gt_mask"])
     if "difficult" in batch:

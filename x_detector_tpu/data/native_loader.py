@@ -28,19 +28,41 @@ _ID_CAPACITY = 64
 _lib = None
 
 
+_ABI_VERSION = 2  # must match xdet_loader_abi_version() in xdet_loader.cc
+
+
+def _build(force: bool = False) -> None:
+    cmd = ["make", "-C", os.path.abspath(_NATIVE_DIR)]
+    if force:
+        cmd.insert(1, "-B")
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "native loader build failed (falling back to the tf.data "
+            f"reader is fine):\n{proc.stderr[-2000:]}")
+
+
 def _load_library(build_if_missing: bool = True):
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO_PATH) and build_if_missing:
-        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                       check=True, capture_output=True)
+        _build()
     lib = ctypes.CDLL(_SO_PATH)
+    if not hasattr(lib, "xdet_loader_abi_version") or \
+            lib.xdet_loader_abi_version() != _ABI_VERSION:
+        # stale .so from an older source revision: rebuild in place
+        if not build_if_missing:
+            raise ImportError("stale libxdet_loader.so (ABI mismatch)")
+        del lib
+        _build(force=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        assert lib.xdet_loader_abi_version() == _ABI_VERSION
     lib.xdet_loader_create.restype = ctypes.c_void_p
     lib.xdet_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
     lib.xdet_loader_next.restype = ctypes.c_int
     lib.xdet_loader_next.argtypes = [
         ctypes.c_void_p,
@@ -48,6 +70,10 @@ def _load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
         ctypes.c_char_p, ctypes.c_int]
+    lib.xdet_loader_position.restype = ctypes.c_uint64
+    lib.xdet_loader_position.argtypes = [ctypes.c_void_p]
+    lib.xdet_loader_num_examples.restype = ctypes.c_uint64
+    lib.xdet_loader_num_examples.argtypes = [ctypes.c_void_p]
     lib.xdet_loader_destroy.restype = None
     lib.xdet_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -55,12 +81,20 @@ def _load_library(build_if_missing: bool = True):
 
 
 class NativeLoader:
-    """Iterator of batches with the trainer schema (+ image_id, difficult)."""
+    """Iterator of batches with the trainer schema (+ image_id, difficult).
+
+    The stream is **bitwise deterministic** for a given (shards, seed,
+    num_threads-independent) configuration — each epoch is an exact seeded
+    permutation of a record index, decoded by position — and resumable:
+    ``position`` is the number of examples consumed; pass it back as
+    ``start_example`` to continue the identical stream after a restart
+    (SURVEY.md §5 deterministic data-iterator state).
+    """
 
     def __init__(self, shard_paths: Sequence[str], canvas_size: int,
                  max_gt: int, batch_size: int, shuffle: bool = True,
                  seed: int = 0, repeat: bool = True, num_threads: int = 4,
-                 letterbox: bool = False):
+                 letterbox: bool = False, start_example: int = 0):
         self._lib = _load_library()
         self.canvas = canvas_size
         self.max_gt = max_gt
@@ -69,8 +103,19 @@ class NativeLoader:
         arr = (ctypes.c_char_p * len(paths))(*paths)
         self._handle = self._lib.xdet_loader_create(
             arr, len(paths), canvas_size, max_gt, batch_size,
-            int(shuffle), seed, int(repeat), num_threads, int(letterbox))
+            int(shuffle), seed, int(repeat), num_threads, int(letterbox),
+            start_example)
         assert self._handle, "native loader creation failed"
+
+    @property
+    def position(self) -> int:
+        """Examples consumed so far — the resume token (``start_example``)."""
+        return int(self._lib.xdet_loader_position(self._handle))
+
+    @property
+    def num_examples(self) -> int:
+        """Indexed records per epoch."""
+        return int(self._lib.xdet_loader_num_examples(self._handle))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self

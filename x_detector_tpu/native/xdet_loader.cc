@@ -12,9 +12,15 @@
 //     the fixed feature schema written by data/tfrecord.py (bytes_list /
 //     packed+unpacked float_list / int64_list).  No protoc codegen needed.
 //   * JPEG decode via libjpeg, bilinear resize to a square canvas.
-//   * A worker thread pool with a bounded output queue and a shuffle
-//     buffer, exposed through a C API consumed by ctypes
-//     (x_detector_tpu/data/native_loader.py).
+//   * A **position-addressable** streaming design: at creation every shard
+//     is framing-scanned into a record index {shard, offset, length}; each
+//     epoch is a seeded exact permutation of that index; worker thread i
+//     decodes global positions ≡ i (mod T) into its own ordered queue and
+//     batches are assembled round-robin — so the batch stream is bitwise
+//     deterministic regardless of thread timing, and resume is O(1): the
+//     loader's state is a single integer (examples consumed), restored by
+//     passing ``start_example`` at creation (SURVEY.md §5 checkpoint/resume:
+//     deterministic data-iterator state).
 //
 // Build: make -C x_detector_tpu/native   (produces libxdet_loader.so)
 
@@ -352,53 +358,88 @@ struct DecodedExample {
   std::string image_id;
 };
 
+// One record's location on disk (the unit of the position index).
+struct RecordRef {
+  uint32_t shard;
+  uint32_t length;
+  uint64_t offset;   // of the payload (past the 12-byte frame header)
+};
+
+// A single worker's ordered output queue.  Worker i fills it with the
+// decoded examples for global positions ≡ i (mod num_threads), in order;
+// the consumer pops round-robin, so the assembled stream is deterministic.
+struct WorkerQueue {
+  std::deque<std::unique_ptr<DecodedExample>> q;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  bool done = false;
+  static constexpr size_t kMax = 64;
+};
+
 struct Loader {
   std::vector<std::string> paths;
+  std::vector<RecordRef> index;      // every validly-framed record
   int canvas, max_gt, batch;
   bool shuffle, repeat, letterbox = false;
   uint64_t seed;
+  uint64_t start_example = 0;
   int num_threads;
 
-  std::deque<std::unique_ptr<DecodedExample>> queue;
-  std::mutex mu;
-  std::condition_variable cv_can_push, cv_can_pop;
-  size_t max_queue = 256;
-  std::atomic<bool> done{false};
+  std::atomic<uint64_t> consumed{0};  // global examples handed out
+  std::vector<std::unique_ptr<WorkerQueue>> queues;
   std::atomic<bool> stop{false};
-  std::atomic<int> active_workers{0};
   std::vector<std::thread> workers;
 
   ~Loader() {
-    {
-      // Flag under the mutex so a thread between predicate check and
-      // wait() cannot miss the wakeup.
-      std::lock_guard<std::mutex> lock(mu);
-      stop = true;
+    stop = true;
+    for (auto& wq : queues) {
+      std::lock_guard<std::mutex> lock(wq->mu);
     }
-    cv_can_push.notify_all();
-    cv_can_pop.notify_all();
+    for (auto& wq : queues) {
+      wq->cv_push.notify_all();
+      wq->cv_pop.notify_all();
+    }
     for (auto& t : workers)
       if (t.joinable()) t.join();
   }
 };
 
-// Reads one TFRecord frame; returns false at EOF/corruption.
-bool ReadRecord(FILE* f, std::vector<uint8_t>* out) {
+// Framing scan: header-CRC-verified walk of one shard, recording each
+// record's payload location without reading the payload (fseek past it).
+// Stops at the first corrupt frame (matching TFRecord reader semantics).
+void IndexShard(const std::string& path, uint32_t shard_id,
+                std::vector<RecordRef>* out) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return;
   uint8_t header[12];
-  if (fread(header, 1, 12, f) != 12) return false;
-  uint64_t len;
-  memcpy(&len, header, 8);
-  uint32_t len_crc;
-  memcpy(&len_crc, header + 8, 4);
-  if (MaskedCrc(header, 8) != len_crc) return false;
-  if (len > (1ull << 31)) return false;
-  out->resize(len);
-  if (fread(out->data(), 1, len, f) != len) return false;
+  uint64_t offset = 0;
+  while (fread(header, 1, 12, f) == 12) {
+    uint64_t len;
+    memcpy(&len, header, 8);
+    uint32_t len_crc;
+    memcpy(&len_crc, header + 8, 4);
+    if (MaskedCrc(header, 8) != len_crc || len > (1ull << 31)) break;
+    offset += 12;
+    out->push_back(RecordRef{shard_id, uint32_t(len), offset});
+    if (fseek(f, long(len) + 4, SEEK_CUR) != 0) {
+      out->pop_back();  // truncated record
+      break;
+    }
+    offset += len + 4;
+  }
+  fclose(f);
+}
+
+// Reads + data-CRC-verifies one indexed record.
+bool ReadRecordAt(FILE* f, const RecordRef& r, std::vector<uint8_t>* out) {
+  if (fseek(f, long(r.offset), SEEK_SET) != 0) return false;
+  out->resize(r.length);
+  if (fread(out->data(), 1, r.length, f) != r.length) return false;
   uint8_t crc_buf[4];
   if (fread(crc_buf, 1, 4, f) != 4) return false;
   uint32_t data_crc;
   memcpy(&data_crc, crc_buf, 4);
-  return MaskedCrc(out->data(), len) == data_crc;
+  return MaskedCrc(out->data(), r.length) == data_crc;
 }
 
 std::unique_ptr<DecodedExample> DecodeOne(const std::vector<uint8_t>& rec,
@@ -446,73 +487,83 @@ std::unique_ptr<DecodedExample> DecodeOne(const std::vector<uint8_t>& rec,
   return out;
 }
 
-void Push(Loader* L, std::unique_ptr<DecodedExample> ex) {
-  std::unique_lock<std::mutex> lock(L->mu);
-  L->cv_can_push.wait(lock, [L] {
-    return L->queue.size() < L->max_queue || L->stop;
+void Push(Loader* L, WorkerQueue* wq, std::unique_ptr<DecodedExample> ex) {
+  std::unique_lock<std::mutex> lock(wq->mu);
+  wq->cv_push.wait(lock, [L, wq] {
+    return wq->q.size() < WorkerQueue::kMax || L->stop;
   });
   if (L->stop) return;
-  L->queue.push_back(std::move(ex));
-  L->cv_can_pop.notify_one();
+  wq->q.push_back(std::move(ex));
+  wq->cv_pop.notify_one();
+}
+
+// Exact per-epoch permutation: Fisher–Yates with a seeded SplitMix-fed
+// mt19937_64 (hand-rolled swap loop so the stream is stable across C++
+// standard libraries, unlike std::shuffle).
+void EpochPermutation(uint64_t seed, uint64_t epoch, size_t n,
+                      std::vector<uint32_t>* perm) {
+  perm->resize(n);
+  for (size_t i = 0; i < n; ++i) (*perm)[i] = uint32_t(i);
+  std::mt19937_64 rng(seed * 0x9e3779b97f4a7c15ull + epoch + 1);
+  for (size_t i = n; i > 1; --i) {
+    size_t j = rng() % i;
+    std::swap((*perm)[i - 1], (*perm)[j]);
+  }
 }
 
 void WorkerMain(Loader* L, int worker_id) {
-  std::mt19937_64 rng(L->seed + worker_id * 1000003ull);
-  // shard ownership: worker i takes paths i, i+T, i+2T, ...
-  std::vector<std::string> my_paths;
-  for (size_t i = worker_id; i < L->paths.size(); i += L->num_threads)
-    my_paths.push_back(L->paths[i]);
+  WorkerQueue* wq = L->queues[worker_id].get();
+  const uint64_t N = L->index.size();
+  const uint64_t T = uint64_t(L->num_threads);
+  std::vector<FILE*> handles(L->paths.size(), nullptr);
+  std::vector<uint32_t> perm;
+  uint64_t perm_epoch = ~0ull;
+  std::vector<uint8_t> rec;
 
-  // shuffle buffer for approximate global shuffling
-  std::vector<std::unique_ptr<DecodedExample>> buffer;
-  const size_t kBuf = 512;
-
-  bool first_epoch = true;
-  while (!L->stop && !my_paths.empty() && (first_epoch || L->repeat)) {
-    first_epoch = false;
-    auto epoch_paths = my_paths;
-    if (L->shuffle)
-      std::shuffle(epoch_paths.begin(), epoch_paths.end(), rng);
-    for (const auto& path : epoch_paths) {
-      FILE* f = fopen(path.c_str(), "rb");
-      if (!f) continue;
-      std::vector<uint8_t> rec;
-      while (!L->stop && ReadRecord(f, &rec)) {
-        auto ex = DecodeOne(rec, L->canvas, L->max_gt, L->letterbox);
-        if (!ex) continue;
-        if (L->shuffle) {
-          if (buffer.size() < kBuf) {
-            buffer.push_back(std::move(ex));
-          } else {
-            size_t j = rng() % kBuf;
-            std::swap(buffer[j], ex);
-            Push(L, std::move(ex));
-          }
-        } else {
-          Push(L, std::move(ex));
+  if (N > 0) {
+    // First global position >= start_example owned by this worker.
+    uint64_t start = L->start_example;
+    uint64_t pos = start + (uint64_t(worker_id) + T - start % T) % T;
+    for (; !L->stop; pos += T) {
+      uint64_t epoch = pos / N;
+      if (!L->repeat && epoch > 0) break;
+      uint32_t ridx;
+      if (L->shuffle) {
+        if (epoch != perm_epoch) {
+          EpochPermutation(L->seed, epoch, N, &perm);
+          perm_epoch = epoch;
         }
+        ridx = perm[pos % N];
+      } else {
+        ridx = uint32_t(pos % N);
       }
-      fclose(f);
-    }
-    // Epoch boundary: flush the shuffle buffer so datasets smaller than
-    // kBuf still stream promptly (epoch-wise shuffle for small data,
-    // windowed shuffle for large).
-    if (L->shuffle) {
-      std::shuffle(buffer.begin(), buffer.end(), rng);
-      for (auto& ex : buffer) {
-        if (L->stop) break;
-        Push(L, std::move(ex));
+      const RecordRef& r = L->index[ridx];
+      FILE*& f = handles[r.shard];
+      if (!f) f = fopen(L->paths[r.shard].c_str(), "rb");
+      std::unique_ptr<DecodedExample> ex;
+      if (f && ReadRecordAt(f, r, &rec))
+        ex = DecodeOne(rec, L->canvas, L->max_gt, L->letterbox);
+      if (!ex) {
+        // Corrupt payload: emit a zero example (mask all-false) so the
+        // position mapping stays exact — a skip would shift every later
+        // position and break resume.
+        ex = std::make_unique<DecodedExample>();
+        ex->image.assign(size_t(L->canvas) * L->canvas * 3, 0.f);
+        ex->boxes.assign(size_t(L->max_gt) * 4, 0.f);
+        ex->labels.assign(L->max_gt, 0);
+        ex->mask.assign(L->max_gt, 0);
+        ex->difficult.assign(L->max_gt, 0);
       }
-      buffer.clear();
+      Push(L, wq, std::move(ex));
     }
   }
-  if (--L->active_workers == 0) {
-    {
-      std::lock_guard<std::mutex> lock(L->mu);
-      L->done = true;
-    }
-    L->cv_can_pop.notify_all();
+  for (FILE* f : handles)
+    if (f) fclose(f);
+  {
+    std::lock_guard<std::mutex> lock(wq->mu);
+    wq->done = true;
   }
+  wq->cv_pop.notify_all();
 }
 
 }  // namespace
@@ -523,9 +574,14 @@ void WorkerMain(Loader* L, int worker_id) {
 
 extern "C" {
 
+// ABI version marker: the Python binding probes this symbol and rebuilds a
+// stale .so whose signatures predate the position-addressable design.
+uint64_t xdet_loader_abi_version() { return 2; }
+
 void* xdet_loader_create(const char** paths, int num_paths, int canvas,
                          int max_gt, int batch, int shuffle, uint64_t seed,
-                         int repeat, int num_threads, int letterbox) {
+                         int repeat, int num_threads, int letterbox,
+                         uint64_t start_example) {
   auto* L = new Loader();
   for (int i = 0; i < num_paths; ++i) L->paths.emplace_back(paths[i]);
   L->canvas = canvas;
@@ -535,12 +591,27 @@ void* xdet_loader_create(const char** paths, int num_paths, int canvas,
   L->repeat = repeat != 0;
   L->letterbox = letterbox != 0;
   L->seed = seed;
-  L->num_threads = std::max(1, std::min(num_threads,
-                                        int(L->paths.size())));
-  L->active_workers = L->num_threads;
+  L->start_example = start_example;
+  L->consumed = start_example;
+  L->num_threads = std::max(1, num_threads);
+  for (uint32_t i = 0; i < L->paths.size(); ++i)
+    IndexShard(L->paths[i], i, &L->index);
+  for (int i = 0; i < L->num_threads; ++i)
+    L->queues.emplace_back(new WorkerQueue());
   for (int i = 0; i < L->num_threads; ++i)
     L->workers.emplace_back(WorkerMain, L, i);
   return L;
+}
+
+// Total examples handed out so far (== the resume token: pass it back as
+// ``start_example`` to continue the exact stream).
+uint64_t xdet_loader_position(void* handle) {
+  return static_cast<Loader*>(handle)->consumed.load();
+}
+
+// Total indexed records (one epoch's worth).
+uint64_t xdet_loader_num_examples(void* handle) {
+  return static_cast<Loader*>(handle)->index.size();
 }
 
 // Fills one batch.  Returns number of examples written (== batch normally,
@@ -551,18 +622,24 @@ int xdet_loader_next(void* handle, float* images, float* boxes,
   auto* L = static_cast<Loader*>(handle);
   int count = 0;
   const size_t img_sz = size_t(L->canvas) * L->canvas * 3;
+  const uint64_t N = L->index.size();
+  const uint64_t T = uint64_t(L->num_threads);
   while (count < L->batch) {
+    uint64_t gpos = L->consumed.load();
+    if (N == 0 || (!L->repeat && gpos >= N)) break;  // exhausted
+    WorkerQueue* wq = L->queues[gpos % T].get();
     std::unique_ptr<DecodedExample> ex;
     {
-      std::unique_lock<std::mutex> lock(L->mu);
-      L->cv_can_pop.wait(lock, [L] {
-        return !L->queue.empty() || L->done || L->stop;
+      std::unique_lock<std::mutex> lock(wq->mu);
+      wq->cv_pop.wait(lock, [L, wq] {
+        return !wq->q.empty() || wq->done || L->stop;
       });
-      if (L->queue.empty()) break;  // done/stopped and drained
-      ex = std::move(L->queue.front());
-      L->queue.pop_front();
-      L->cv_can_push.notify_one();
+      if (wq->q.empty()) break;  // done/stopped and drained
+      ex = std::move(wq->q.front());
+      wq->q.pop_front();
+      wq->cv_push.notify_one();
     }
+    L->consumed.fetch_add(1);
     memcpy(images + size_t(count) * img_sz, ex->image.data(),
            img_sz * sizeof(float));
     memcpy(boxes + size_t(count) * L->max_gt * 4, ex->boxes.data(),
