@@ -138,3 +138,36 @@ def test_candidate_prefilter_matches_full_nms(rng):
     np.testing.assert_allclose(np.asarray(full.boxes),
                                np.asarray(pre.boxes), atol=1e-6)
     assert (np.asarray(full.classes) == np.asarray(pre.classes)).all()
+
+
+def test_nms_compact_survivor_path_matches_oracle(rng):
+    """Large candidate pools (n_tiles > 8) take the compact-survivor-buffer
+    branch with early exit — the train proposal stage's shape class.  Must
+    equal the sequential oracle exactly, including when the early exit
+    triggers (max_output << survivors)."""
+    boxes, scores = random_cluttered_boxes(rng, 1536, clusters=24)
+    for max_output, thresh in [(256, 0.5), (64, 0.7)]:
+        res = N.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                           max_output=max_output, iou_threshold=thresh,
+                           score_threshold=0.0)
+        kept = np_greedy_nms(boxes, scores, thresh, 0.0)[:max_output]
+        got_n = int(np.asarray(res.valid).sum())
+        assert got_n == len(kept), (max_output, thresh, got_n, len(kept))
+        np.testing.assert_allclose(np.asarray(res.boxes)[:len(kept)],
+                                   boxes[kept], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.scores)[:len(kept)],
+                                   scores[kept], atol=1e-6)
+
+
+def test_nms_compact_path_score_floor_early_exit(rng):
+    """Compact path with a score floor: boxes below it can neither survive
+    nor suppress, and the head-score early exit must not drop survivors."""
+    boxes, scores = random_cluttered_boxes(rng, 1408, clusters=16)
+    scores = scores * (scores > 0.5)  # half the pool dead at floor 0.0...
+    res = N.nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                       max_output=300, iou_threshold=0.5,
+                       score_threshold=0.25)
+    kept = np_greedy_nms(boxes, scores, 0.5, 0.25)[:300]
+    assert int(np.asarray(res.valid).sum()) == len(kept)
+    np.testing.assert_allclose(np.asarray(res.scores)[:len(kept)],
+                               scores[kept], atol=1e-6)
