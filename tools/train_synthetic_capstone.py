@@ -2,8 +2,8 @@
 step fused in one jit, fresh data every step; held-out eval on a disjoint
 key stream.
 
-Backs the README "held-out mAP 0.72 after 12k steps / 171 img/s" row
-(measured STEPS=12000 on one v5e chip, 2026-08-16).
+Backs the README "held-out mAP 0.69 after 12k steps / 220 img/s" row
+(round-2 re-run, one v5e chip, 2026-08-17; round 1: 0.72 / 171 img/s with the pre-oracle crop sampler).
 
   PYTHONPATH=. python tools/train_synthetic_capstone.py
 """
