@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from test_lighthead import tiny_config
 from x_detector_tpu.models.lighthead import (LightHeadRCNN,
                                              lighthead_postprocess)
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     from jax import export as jexport
 

@@ -13,6 +13,7 @@ scores identically).
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ from x_detector_tpu.train.trainer import (create_model_and_state,
 from x_detector_tpu.utils.metrics_voc import VOCEvaluator
 
 
+@pytest.mark.slow  # ~11 min on the 1-core host: 120 full train steps
 def test_overfit_to_perfect_map():
     cfg = small_ssd_cfg()
     cfg = dataclasses.replace(

@@ -35,6 +35,7 @@ def test_dp_step_runs_on_8_devices():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_dp_collective_math_exact_on_continuous_loss():
     """DP psum grad sync == manual per-shard grad averaging, verified with a
     continuous surrogate loss.
@@ -87,6 +88,7 @@ def test_dp_collective_math_exact_on_continuous_loss():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_detector_loss_matches_shard_mean():
     """The DP detector loss equals the mean of per-shard losses (continuous
     quantity; tolerant of fp reassociation)."""
@@ -131,6 +133,7 @@ def test_dp_lighthead_step():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow  # subprocess spins up its own 8-device CPU jax
 def test_graft_dryrun_multichip_is_environment_proof():
     """The driver calls __graft_entry__.dryrun_multichip(8) from a process
     whose ambient JAX platform may be an unusable remote-TPU backend
