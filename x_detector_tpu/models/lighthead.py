@@ -103,10 +103,10 @@ def generate_proposals(
     k_post = cfg.post_nms_topk if training else cfg.post_nms_topk_eval
 
     def one_image(s, b):
-        top_s, top_i = jax.lax.top_k(s, k_pre)
+        top_s, top_i = jax.lax.top_k(s, k_pre)   # descending: NMS skips sort
         res = nms_lib.nms_padded(b[top_i], top_s, k_post,
                                  iou_threshold=cfg.nms_threshold,
-                                 score_threshold=0.0)
+                                 score_threshold=0.0, presorted=True)
         return res.boxes, res.scores, res.valid
 
     return jax.vmap(one_image)(scores, boxes)
