@@ -228,8 +228,15 @@ def multiclass_nms(
     def one_class(cls_boxes, cls_scores):
         presorted = cls_scores.shape[0] > nms_candidates
         if presorted:  # top_k emits descending scores: skip the NMS re-sort
+            n = cls_boxes.shape[0]
             top_s, idx = jax.lax.top_k(cls_scores, nms_candidates)
-            cls_boxes, cls_scores = cls_boxes[idx], top_s
+            # Row gather lowers serially on TPU (2.1 ms/batch across
+            # classes x batch); at these shapes a one-hot contraction is a
+            # tiny MXU matmul instead.
+            onehot = (idx[:, None]
+                      == jnp.arange(n, dtype=idx.dtype)[None, :])
+            cls_boxes = onehot.astype(cls_boxes.dtype) @ cls_boxes
+            cls_scores = top_s
         return nms_padded(cls_boxes, cls_scores, per_class_topk,
                           iou_threshold, score_threshold,
                           presorted=presorted)
