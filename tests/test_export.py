@@ -37,3 +37,22 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(rs, ls, atol=1e-5)
     assert (rc == lc).all() and (rv == lv).all()
     np.testing.assert_allclose(rb, lb, atol=1e-3)
+
+
+def test_serving_letterbox_matches_reader_geometry():
+    """serving.letterbox_batch must reproduce the data pipeline's placement
+    (uniform scale, top-left, half-up rounding) and box_scale convention."""
+    from x_detector_tpu import serving
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (30, 60, 3), np.uint8)   # wide image
+    canvas, scale = serving.letterbox_image(img, 64)
+    assert canvas.shape == (64, 64, 3)
+    # w0=60 -> w1=64, h0=30 -> h1=round(30*64/60)=32
+    np.testing.assert_allclose(scale, [32 / 64, 64 / 64])
+    assert (canvas[32:] == 0).all() and canvas[:32, :64].any()
+
+    tall = rng.integers(0, 255, (50, 20, 3), np.uint8)
+    batch, scales = serving.letterbox_batch([img, tall], 64)
+    assert batch.shape == (2, 64, 64, 3) and scales.shape == (2, 2)
+    np.testing.assert_allclose(scales[1], [64 / 64, round(20 * 64 / 50) / 64])
