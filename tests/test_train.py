@@ -48,11 +48,23 @@ def get_batch(cfg, seed=0):
     return {k: jnp.asarray(v) for k, v in b.items()}
 
 
-def test_ssd_overfits_fixed_batch():
+# Module-scoped, immutable setup shared by several tests: TrainState is a
+# functional pytree and step_fn is pure, so reusing (cfg, model, state0,
+# step_fn) across tests is safe and saves repeated init/step compiles on
+# the 1-core host (ROADMAP item on suite wall-clock).
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ssd_setup():
     cfg = small_ssd_cfg()
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
                                           dtype=jnp.float32)
-    step_fn = jax.jit(make_train_step(model, cfg))
+    return cfg, model, state, jax.jit(make_train_step(model, cfg))
+
+
+def test_ssd_overfits_fixed_batch(ssd_setup):
+    cfg, model, state, step_fn = ssd_setup
     batch = get_batch(cfg)
     rng = jax.random.PRNGKey(1)
     losses = []
@@ -80,11 +92,8 @@ def test_lighthead_train_step_runs_and_learns():
         assert np.isfinite(float(metrics[k]))
 
 
-def test_train_step_deterministic():
-    cfg = small_ssd_cfg()
-    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
-                                          dtype=jnp.float32)
-    step_fn = jax.jit(make_train_step(model, cfg))
+def test_train_step_deterministic(ssd_setup):
+    cfg, model, state, step_fn = ssd_setup
     batch = get_batch(cfg)
     rng = jax.random.PRNGKey(7)
     s1, m1 = step_fn(state, batch, rng)
@@ -96,11 +105,8 @@ def test_train_step_deterministic():
     assert all(bool((a == b).all()) for a, b in zip(l1, l2))
 
 
-def test_checkpoint_roundtrip(tmp_path):
-    cfg = small_ssd_cfg()
-    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
-                                          dtype=jnp.float32)
-    step_fn = jax.jit(make_train_step(model, cfg))
+def test_checkpoint_roundtrip(tmp_path, ssd_setup):
+    cfg, model, state, step_fn = ssd_setup
     batch = get_batch(cfg)
     state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
 
@@ -155,16 +161,14 @@ def test_ema_preset_contract():
     assert state.ema_params is not None
 
 
-def test_difficult_gt_excluded_from_training_targets():
+def test_difficult_gt_excluded_from_training_targets(ssd_setup):
     """Reference lineage: *difficult* VOC objects don't produce training
     targets. With the default config the loss over a batch carrying a
     difficult flag equals the loss with that gt's mask cleared, and differs
     from the include_difficult=True loss."""
     from x_detector_tpu.train.trainer import make_loss_fn
 
-    cfg = small_ssd_cfg()
-    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
-                                          dtype=jnp.float32)
+    cfg, model, state, _ = ssd_setup
     batch = get_batch(cfg)
     difficult = np.zeros(batch["gt_mask"].shape, bool)
     # flag the first valid gt of image 0 as difficult
