@@ -17,11 +17,12 @@ from x_detector_tpu.train.trainer import create_model_and_state, make_train_step
 from x_detector_tpu.models.lighthead import lighthead_postprocess
 from x_detector_tpu.utils.metrics_voc import VOCEvaluator
 
-STEPS = 12000
+STEPS = int(__import__('os').environ.get('CAPSTONE_STEPS', 12000))
 cfg = lighthead_xception(image_size=800)
 cfg = dataclasses.replace(cfg, train=dataclasses.replace(
     cfg.train, batch_size=16, learning_rate=2e-3, warmup_steps=200,
-    lr_boundaries=(8000, 10500), lr_decays=(1.0, 0.3, 0.1)))
+    lr_boundaries=(int(STEPS * 2 / 3), int(STEPS * 7 / 8)),
+    lr_decays=(1.0, 0.3, 0.1)))
 model, state = create_model_and_state(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 step_fn = make_train_step(model, cfg)
 
