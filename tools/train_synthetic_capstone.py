@@ -20,7 +20,8 @@ from x_detector_tpu.utils.metrics_voc import VOCEvaluator
 STEPS = int(__import__('os').environ.get('CAPSTONE_STEPS', 12000))
 cfg = lighthead_xception(image_size=800)
 cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-    cfg.train, batch_size=16, learning_rate=2e-3, warmup_steps=200,
+    cfg.train, batch_size=16,
+    learning_rate=float(os.environ.get('CAPSTONE_LR', 2e-3)), warmup_steps=200,
     lr_boundaries=(int(STEPS * 2 / 3), int(STEPS * 7 / 8)),
     lr_decays=(1.0, 0.3, 0.1)))
 model, state = create_model_and_state(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
