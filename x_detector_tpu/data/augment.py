@@ -263,10 +263,17 @@ def preprocess_for_train(key: jax.Array, image: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def preprocess_for_eval(image: jnp.ndarray,
                         cfg: DataConfig) -> jnp.ndarray:
-    """Resize to the square eval size + whiten (no augmentation)."""
-    full = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32)
-    img = crop_and_resize(image, full, cfg.image_size)
-    return img - jnp.asarray(cfg.pixel_means, jnp.float32)
+    """Resize to the square eval size + whiten (no augmentation).
+
+    Skips the resize matmuls entirely when the (static) input shape is
+    already the target canvas — e.g. eval over reader canvases that were
+    letterboxed/decoded at the model size, where the full-image
+    crop_and_resize would be two dense identity matmuls per image.
+    """
+    if tuple(image.shape[:2]) != (cfg.image_size, cfg.image_size):
+        full = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32)
+        image = crop_and_resize(image, full, cfg.image_size)
+    return image - jnp.asarray(cfg.pixel_means, jnp.float32)
 
 
 def preprocess_batch_for_train(key: jax.Array, batch: Dict[str, jnp.ndarray],

@@ -125,8 +125,13 @@ def roi_loss_ohem(roi_cls: jnp.ndarray, roi_box: jnp.ndarray,
     """
     cls_losses = softmax_ce(roi_cls, labels)
     if roi_box.ndim == 3:  # [R, C, 4]: per-class regression
-        roi_box = jnp.take_along_axis(
-            roi_box, labels[:, None, None], axis=1).squeeze(1)
+        # One-hot mask + reduce instead of take_along_axis, consistent with
+        # the repo's gather-free policy (softmax_ce above, matching.py,
+        # nms.py): the masked reduce fuses into the elementwise chain while
+        # the gather lowers to a serial dynamic-slice loop on TPU.
+        onehot = labels[:, None] == jnp.arange(roi_box.shape[1],
+                                               dtype=labels.dtype)
+        roi_box = jnp.where(onehot[..., None], roi_box, 0.0).sum(axis=1)
     loc_losses = smooth_l1(roi_box, reg_targets, sigma=sigma)
     per_roi = cls_losses + jnp.where(fg_mask, loc_losses, 0.0)
     per_roi = jnp.where(valid_mask, per_roi, 0.0)
