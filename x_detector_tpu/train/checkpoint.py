@@ -26,8 +26,30 @@ class CheckpointManager:
                 max_to_keep=keep, create=True, enable_async_checkpointing=True),
         )
 
+    def _meta_path(self, step: int) -> str:
+        return os.path.join(self._dir, f"meta-{step}.json")
+
+    def _ckpt_has_ema(self, step: int, default: bool) -> bool:
+        """Whether the checkpoint at ``step`` carries an EMA shadow.
+
+        New checkpoints are self-describing: ``save()`` writes a
+        ``meta-{step}.json`` sidecar we fully control. Pre-sidecar
+        checkpoints fall back to sniffing Orbax's private ``_METADATA``
+        manifest (``_ckpt_state_keys``), and if that too is unreadable,
+        to ``default`` (assume the checkpoint matches the state).
+        """
+        import json
+        try:
+            with open(self._meta_path(step)) as f:
+                return bool(json.load(f)["has_ema"])
+        except Exception:
+            pass
+        keys = self._ckpt_state_keys(step)      # legacy fallback
+        return default if keys is None else ("ema_params" in keys)
+
     def _ckpt_state_keys(self, step: int) -> Optional[set]:
-        """Top-level keys of the saved ``state`` dict, or None if unknown.
+        """LEGACY fallback (pre-sidecar checkpoints only): top-level keys of
+        the saved ``state`` dict, or None if unknown.
 
         The step's ``_METADATA`` tree manifest on disk is tried first (works
         from any process); ``item_metadata`` — which resolves only on a
@@ -63,6 +85,26 @@ class CheckpointManager:
         payload = {"state": _strip_tx(state),
                    "data_state": data_state or {"position": 0}}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        # Self-describing sidecar (our file, our format): restore() reads
+        # this instead of parsing Orbax's private on-disk manifest.  Written
+        # synchronously — it is tiny — even though the payload save is async;
+        # an orphan sidecar from a crashed save is ignored (restore() only
+        # looks up steps the manager reports).
+        import json
+        with open(self._meta_path(step), "w") as f:
+            json.dump({"has_ema": state.ema_params is not None}, f)
+        live = set(self._mgr.all_steps()) | {step}
+        for name in os.listdir(self._dir):
+            if name.startswith("meta-") and name.endswith(".json"):
+                try:
+                    s = int(name[5:-5])
+                except ValueError:
+                    continue
+                if s not in live:
+                    try:
+                        os.remove(os.path.join(self._dir, name))
+                    except OSError:
+                        pass
 
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> tuple[TrainState, dict]:
@@ -77,12 +119,10 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         assert step is not None, "no checkpoint to restore"
         template = {"state": _strip_tx(state), "data_state": {"position": 0}}
-        ckpt_keys = self._ckpt_state_keys(step)
         state_has_ema = state.ema_params is not None
-        # Unknown structure (very old checkpoint layout): assume it matches
-        # the state — the pre-reconcile behavior.
-        ckpt_has_ema = (state_has_ema if ckpt_keys is None
-                        else "ema_params" in ckpt_keys)
+        # Sidecar first; legacy _METADATA sniff for pre-sidecar checkpoints;
+        # if neither resolves, assume the checkpoint matches the state.
+        ckpt_has_ema = self._ckpt_has_ema(step, default=state_has_ema)
         if ckpt_has_ema and not state_has_ema:
             template["state"]["ema_params"] = state.params
             warnings.warn(
