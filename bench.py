@@ -67,19 +67,26 @@ def main():
     # run-to-run with terminal contention (measured 567-762 img/s spread on
     # identical code); the fastest pass is the closest estimate of the
     # chip's sustained throughput.
-    dt = float("inf")
+    times = []
     for _pass in range(3):
         t0 = time.perf_counter()
         results = [detect(variables, b) for b in batches]
         _ = np.asarray(results[-1][4])          # FIFO fence
-        dt = min(dt, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
 
-    imgs_per_sec = BATCH * ITERS / dt
+    # Headline = best-of-3 (closest estimate of chip capability under the
+    # variable tunnel dispatch latency); median + full per-pass spread are
+    # reported alongside so the artifact records the variance, not just the
+    # flattering number.
+    per_pass = sorted(BATCH * ITERS / t for t in times)
+    imgs_per_sec = per_pass[-1]
     print(json.dumps({
         "metric": "detection_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 102.0, 3),
+        "median": round(per_pass[len(per_pass) // 2], 2),
+        "spread": [round(v, 2) for v in per_pass],
     }))
 
 
