@@ -30,3 +30,35 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def dp8_ssd():
+    """Session-shared 8-device DP setup: ONE shard_map compile reused by
+    every test that needs a full SSD DP step (suite wall-clock, round-2
+    verdict item 3). All parts are immutable/pure — safe to share."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from test_train import small_ssd_cfg
+    from x_detector_tpu.parallel import mesh as mesh_lib
+    from x_detector_tpu.parallel.data_parallel import make_dp_train_step
+    from x_detector_tpu.train.trainer import create_model_and_state
+
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
+    model, _ = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                      dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh(8)
+    step = make_dp_train_step(model, cfg, mesh)
+
+    def fresh_state():
+        # the DP step donates its state arg, and on CPU replicate_state
+        # aliases the input buffers — every test gets a fresh state so one
+        # test's donation cannot delete another's arrays
+        return create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                      dtype=jnp.float32)[1]
+
+    return cfg, model, fresh_state, mesh, step

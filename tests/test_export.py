@@ -56,3 +56,26 @@ def test_serving_letterbox_matches_reader_geometry():
     batch, scales = serving.letterbox_batch([img, tall], 64)
     assert batch.shape == (2, 64, 64, 3) and scales.shape == (2, 2)
     np.testing.assert_allclose(scales[1], [64 / 64, round(20 * 64 / 50) / 64])
+
+
+def test_serving_bucket_picker_and_padding():
+    """pick_bucket routes a burst to the smallest fitting artifact batch;
+    bucketed_letterbox_batch zero-pads to that batch."""
+    from x_detector_tpu import serving
+
+    assert serving.pick_bucket(1, [1, 4, 8, 16]) == 1
+    assert serving.pick_bucket(3, [1, 4, 8, 16]) == 4
+    assert serving.pick_bucket(4, [1, 4, 8, 16]) == 4
+    assert serving.pick_bucket(9, [1, 4, 8, 16]) == 16
+    assert serving.pick_bucket(40, [1, 4, 8, 16]) == 16  # caller splits
+
+    imgs = [np.full((32, 48, 3), 128, np.uint8) for _ in range(3)]
+    canvas, scale, n = serving.bucketed_letterbox_batch(imgs, 64,
+                                                        [1, 4, 8])
+    assert canvas.shape == (4, 64, 64, 3) and scale.shape == (4, 2)
+    assert n == 3
+    assert (canvas[3] == 0).all() and (scale[3] == 1.0).all()
+    assert canvas[0].max() > 0
+    import pytest
+    with pytest.raises(ValueError):
+        serving.bucketed_letterbox_batch(imgs * 4, 64, [1, 4, 8])

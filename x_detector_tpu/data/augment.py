@@ -84,15 +84,27 @@ def sample_distorted_box(key: jax.Array, gt_boxes: jnp.ndarray,
     # attempt only fails if the clamped ceiling makes the MINIMUM area
     # unachievable.
     content = fy * fx
-    h_lo = jnp.sqrt(cfg.area_range[0] * content / aspect)
-    h_hi = jnp.sqrt(cfg.area_range[1] * content / aspect)
-    h_cap = jnp.minimum(fy, fx / aspect)
-    h_hi = jnp.minimum(h_hi, h_cap)
-    fits = h_lo <= h_hi * (1.0 + 1e-6)
-    u = jax.random.uniform(k_area, (n,))
-    h = h_lo + u * jnp.maximum(h_hi - h_lo, 0.0)
-    w = jnp.minimum(h * aspect, fx)
-    h = jnp.minimum(h, fy)
+    if cfg.crop_sampler == "r1":
+        # Round-1 distribution (pre-oracle): AREA uniform in range, oversize
+        # trials rejected instead of height-clamped. Kept for the capstone
+        # mAP-delta attribution A/B (round-2 verdict item 6).
+        area = jax.random.uniform(k_area, (n,), minval=cfg.area_range[0],
+                                  maxval=cfg.area_range[1])
+        h = jnp.sqrt(area * content / aspect)
+        w = jnp.sqrt(area * content * aspect)
+        fits = (h <= fy) & (w <= fx)
+        h = jnp.minimum(h, fy)
+        w = jnp.minimum(w, fx)
+    else:
+        h_lo = jnp.sqrt(cfg.area_range[0] * content / aspect)
+        h_hi = jnp.sqrt(cfg.area_range[1] * content / aspect)
+        h_cap = jnp.minimum(fy, fx / aspect)
+        h_hi = jnp.minimum(h_hi, h_cap)
+        fits = h_lo <= h_hi * (1.0 + 1e-6)
+        u = jax.random.uniform(k_area, (n,))
+        h = h_lo + u * jnp.maximum(h_hi - h_lo, 0.0)
+        w = jnp.minimum(h * aspect, fx)
+        h = jnp.minimum(h, fy)
     y0 = jax.random.uniform(k_y, (n,)) * (fy - h)
     x0 = jax.random.uniform(k_x, (n,)) * (fx - w)
     crops = jnp.stack([y0, x0, y0 + h, x0 + w], axis=-1)          # [n, 4]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from x_detector_tpu.config import ModelConfig, ProposalConfig
+from x_detector_tpu.config import AnchorConfig, ModelConfig, ProposalConfig
 from x_detector_tpu.models.layers import ConvBN
 from x_detector_tpu.models.resnet import ResNetV1
 from x_detector_tpu.models.xception import XceptionLite
@@ -85,9 +85,16 @@ def generate_proposals(
     cfg: ProposalConfig,
     image_size: int,
     training: bool = False,
+    anchor_cfg: "AnchorConfig" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static proposal stage (N5). Returns (boxes [B,R,4], scores [B,R],
-    valid [B,R]) with R = post_nms_topk (train) or post_nms_topk_eval."""
+    valid [B,R]) with R = post_nms_topk (train) or post_nms_topk_eval.
+
+    With ``cfg.fast_nms`` (and an ``anchor_cfg`` describing the grid), the
+    exact greedy NMS is replaced by the MaxpoolNMS approximation
+    (ops/maxpool_nms.py): per-scale local-max selection on the objectness
+    maps, then a single top-k — no sort, no sequential suppression.
+    """
     num_anchors = rpn_cls.shape[1]
     scores = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]           # [B, A]
     boxes = box_ops.decode(rpn_loc, anchors[None])              # [B, A, 4]
@@ -101,6 +108,17 @@ def generate_proposals(
     k_pre = min(cfg.pre_nms_topk if training else cfg.pre_nms_topk_eval,
                 num_anchors)
     k_post = cfg.post_nms_topk if training else cfg.post_nms_topk_eval
+
+    if cfg.fast_nms and anchor_cfg is not None:
+        from x_detector_tpu.ops.maxpool_nms import rpn_maxpool_scores
+        masked = rpn_maxpool_scores(scores, anchor_cfg, image_size,
+                                    cfg.nms_threshold)
+
+        def one_image_fast(s, b):
+            top_s, top_i = jax.lax.top_k(s, k_post)
+            return b[top_i], top_s, top_s > 0.0
+
+        return jax.vmap(one_image_fast)(masked, boxes)
 
     def one_image(s, b):
         top_s, top_i = jax.lax.top_k(s, k_pre)   # descending: NMS skips sort
@@ -149,13 +167,9 @@ class LightHeadRCNN(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
+        from x_detector_tpu.models.ssd import make_backbone
         cfg = self.config
-        if cfg.backbone == "resnet50":
-            self.backbone = ResNetV1(dilate_c5=True, dtype=self.dtype)
-        elif cfg.backbone == "xception_lite":
-            self.backbone = XceptionLite(dtype=self.dtype)
-        else:
-            raise ValueError(f"unknown backbone {cfg.backbone!r}")
+        self.backbone = make_backbone(cfg, dilate_c5=True, dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=cfg.anchors.num_anchors,
                            mid=cfg.rpn_mid, dtype=self.dtype)
         self.thin_map = LargeSeparableConv(
@@ -180,7 +194,8 @@ class LightHeadRCNN(nn.Module):
 
         props, prop_scores, prop_valid = generate_proposals(
             jax.lax.stop_gradient(rpn_cls), jax.lax.stop_gradient(rpn_loc),
-            anchors, cfg.proposals, cfg.image_size, training=train)
+            anchors, cfg.proposals, cfg.image_size, training=train,
+            anchor_cfg=cfg.anchors)
 
         thin = self.thin_map(c5, train)                   # [B, h, w, 490]
         pooled = batched_psroi_align(

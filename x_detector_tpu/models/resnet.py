@@ -46,8 +46,14 @@ class Bottleneck(nn.Module):
 
 
 class ResNetV1(nn.Module):
-    """ResNet v1 feature extractor."""
+    """ResNet v1 feature extractor.
+
+    ``stage_sizes``/``widths`` default to ResNet-50; tests shrink both via
+    ``ModelConfig.backbone_stages``/``backbone_widths`` to keep the 1-core
+    CI host's compile and step times proportional to what they exercise.
+    """
     stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    widths: Tuple[int, ...] = (64, 128, 256, 512)
     dilate_c5: bool = True     # stride-16 dilated last stage (two-stage dets)
     dtype: Dtype = jnp.bfloat16
 
@@ -59,9 +65,8 @@ class ResNetV1(nn.Module):
                    dtype=self.dtype, name="stem")(x, train)
         x = max_pool(x, 3, 2, explicit_pad=True)               # stride 4
         feats: Dict[str, jnp.ndarray] = {}
-        widths = (64, 128, 256, 512)
         for stage, (n_blocks, width) in enumerate(
-                zip(self.stage_sizes, widths)):
+                zip(self.stage_sizes, self.widths)):
             last = stage == len(self.stage_sizes) - 1
             if stage == 0:
                 stride, dilation = (1, 1), (1, 1)

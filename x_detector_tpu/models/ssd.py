@@ -28,6 +28,26 @@ from x_detector_tpu.ops import anchors as anchor_lib
 Dtype = Any
 
 
+def make_backbone(cfg: ModelConfig, dilate_c5: bool, dtype,
+                  name: str = None):
+    """Backbone module for a ModelConfig, honoring the capacity overrides
+    (``backbone_stages``/``backbone_widths``; None = family defaults).
+
+    ``name`` must stay None when called from a Module's ``setup`` (Flax
+    names attributes itself there)."""
+    kw = {} if name is None else {"name": name}
+    if cfg.backbone_stages is not None:
+        kw["stage_sizes" if cfg.backbone == "resnet50"
+           else "units_per_stage"] = cfg.backbone_stages
+    if cfg.backbone_widths is not None:
+        kw["widths"] = cfg.backbone_widths
+    if cfg.backbone == "resnet50":
+        return ResNetV1(dilate_c5=dilate_c5, dtype=dtype, **kw)
+    if cfg.backbone == "xception_lite":
+        return XceptionLite(dilate_c5=dilate_c5, dtype=dtype, **kw)
+    raise ValueError(f"unknown backbone {cfg.backbone!r}")
+
+
 class SSDHead(nn.Module):
     """Per-layer sibling 3x3 convs emitting class logits + box codes."""
     num_classes: int
@@ -73,14 +93,8 @@ class SSDModel(nn.Module):
     def __call__(self, images: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
-        if cfg.backbone == "resnet50":
-            feats = ResNetV1(dilate_c5=False, dtype=self.dtype,
-                             name="backbone")(images, train)
-        elif cfg.backbone == "xception_lite":
-            feats = XceptionLite(dilate_c5=False, dtype=self.dtype,
-                                 name="backbone")(images, train)
-        else:
-            raise ValueError(f"unknown backbone {cfg.backbone!r}")
+        feats = make_backbone(cfg, dilate_c5=False, dtype=self.dtype,
+                              name="backbone")(images, train)
         pyramid = [feats["c3"], feats["c4"], feats["c5"]]
         x = feats["c5"]
         for i, stride in enumerate(cfg.ssd_anchors.strides[3:]):

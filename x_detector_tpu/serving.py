@@ -61,3 +61,38 @@ def letterbox_batch(images: Sequence[np.ndarray], size: int
         canvases.append(c)
         scales.append(s)
     return np.stack(canvases), np.stack(scales)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest exported artifact batch that fits ``n`` requests.
+
+    Exported StableHLO artifacts have static batch shapes, so a deployment
+    exports a small set (cli/export.py --batch, e.g. {1, 4, 8, 16}) and
+    routes each request burst to the cheapest one.  If ``n`` exceeds every
+    bucket, returns the largest (the caller splits the burst).
+    """
+    fitting = [b for b in buckets if b >= n]
+    return min(fitting) if fitting else max(buckets)
+
+
+def bucketed_letterbox_batch(
+        images: Sequence[np.ndarray], size: int,
+        buckets: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Letterbox a request burst and zero-pad it to its bucket's batch.
+
+    Returns ``(canvas [B, size, size, 3], box_scale [B, 2], n_real)`` with
+    ``B = pick_bucket(len(images), buckets)``; rows >= ``n_real`` are
+    zero canvases (box_scale 1) whose detections the caller discards.
+    Bursts larger than every bucket must be split by the caller first.
+    """
+    n = len(images)
+    b = pick_bucket(n, buckets)
+    if n > b:
+        raise ValueError(f"burst of {n} exceeds largest bucket {b}: "
+                         "split the request first")
+    canvas, scale = letterbox_batch(images, size)
+    if n < b:
+        canvas = np.concatenate(
+            [canvas, np.zeros((b - n, size, size, 3), np.float32)])
+        scale = np.concatenate([scale, np.ones((b - n, 2), np.float32)])
+    return canvas, scale, n
