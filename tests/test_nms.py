@@ -171,3 +171,30 @@ def test_nms_compact_path_score_floor_early_exit(rng):
     assert int(np.asarray(res.valid).sum()) == len(kept)
     np.testing.assert_allclose(np.asarray(res.scores)[:len(kept)],
                                scores[kept], atol=1e-6)
+
+
+def test_approx_prefilter_matches_exact_on_separated_scores():
+    """approx_max_k candidate prefilter: same detections as the exact
+    prefilter when scores are well separated (the approximation only
+    reorders near-ties deep in the candidate tail)."""
+    import jax
+    from x_detector_tpu.ops.nms import multiclass_nms
+
+    rng = np.random.default_rng(5)
+    n, c = 600, 3
+    boxes = np.zeros((n, 4), np.float32)
+    # isolated boxes on a coarse grid: no suppression interplay
+    for i in range(n):
+        y, x = divmod(i, 30)
+        boxes[i] = (y * 0.04, x * 0.033, y * 0.04 + 0.02, x * 0.033 + 0.015)
+    scores = rng.uniform(0.0, 1.0, (n, c)).astype(np.float32)
+    out_exact = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                               max_output=50, nms_candidates=256,
+                               approx_prefilter=False)
+    out_approx = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                max_output=50, nms_candidates=256,
+                                approx_prefilter=True)
+    np.testing.assert_allclose(np.asarray(out_exact.scores),
+                               np.asarray(out_approx.scores), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_exact.classes),
+                                  np.asarray(out_approx.classes))

@@ -65,14 +65,22 @@ def train_synthetic(cfg, steps: int):
     return model, state
 
 
-def make_detect_fn(cfg, model, fast: bool):
-    """variables, raw_image_batch -> MulticlassNMSResult fields."""
+def make_detect_fn(cfg, model, mode: str):
+    """variables, raw_image_batch -> MulticlassNMSResult fields.
+
+    mode: 'exact' (production default), 'approx' (approx_max_k candidate
+    prefilter, greedy NMS still exact), 'maxpool' (MaxpoolNMS fast mode).
+    """
     if cfg.model.family == "lighthead":
         mcfg = cfg.model
-        if fast:
+        if mode == "maxpool":
             mcfg = dataclasses.replace(
                 mcfg, proposals=dataclasses.replace(mcfg.proposals,
                                                     fast_nms=True))
+        elif mode == "approx":
+            mcfg = dataclasses.replace(
+                mcfg, nms=dataclasses.replace(mcfg.nms,
+                                              approx_prefilter=True))
         m = LightHeadRCNN(config=mcfg, dtype=jnp.bfloat16)
 
         @jax.jit
@@ -94,8 +102,10 @@ def make_detect_fn(cfg, model, fast: bool):
                 loc, cls, anchors, max_output=cfg.model.nms.max_output,
                 iou_threshold=cfg.model.nms.iou_threshold,
                 score_threshold=cfg.model.nms.score_threshold,
-                fast_mode=fast, ssd_anchor_cfg=cfg.model.ssd_anchors,
-                image_size=cfg.model.image_size)
+                fast_mode=mode == "maxpool",
+                ssd_anchor_cfg=cfg.model.ssd_anchors,
+                image_size=cfg.model.image_size,
+                approx_prefilter=mode == "approx")
             return det.boxes, det.scores, det.classes, det.valid
     return detect
 
@@ -168,13 +178,12 @@ def main():
         print(f"[{fam}] training {args.steps} synthetic steps...", flush=True)
         model, state = train_synthetic(cfg, args.steps)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        for fast in (False, True):
-            detect = make_detect_fn(cfg, model, fast)
+        for mode in ("exact", "approx", "maxpool"):
+            detect = make_detect_fn(cfg, model, mode)
             mAP = eval_map(cfg, detect, variables, args.eval_batches)
             ips = throughput(cfg, detect, variables)
             print(json.dumps({
-                "family": fam, "preset": cfg.model.name,
-                "nms": "maxpool" if fast else "exact",
+                "family": fam, "preset": cfg.model.name, "nms": mode,
                 "held_out_mAP": round(mAP, 4),
                 "images_per_sec_per_chip": round(ips, 2),
             }), flush=True)

@@ -74,7 +74,8 @@ def child_main(args):
                                        ProposalConfig, TrainConfig)
     from x_detector_tpu.data.synthetic import synthetic_batch_device
     from x_detector_tpu.parallel.data_parallel import make_dp_train_step
-    from x_detector_tpu.parallel.mesh import make_mesh, shard_batch
+    from x_detector_tpu.parallel.mesh import (make_mesh, replicate_state,
+                                              shard_batch)
     from x_detector_tpu.train.checkpoint import CheckpointManager
     from x_detector_tpu.train.trainer import create_model_and_state
 
@@ -84,6 +85,7 @@ def child_main(args):
         model=ModelConfig(
             name="tiny_lh_dp", backbone="xception_lite", family="lighthead",
             image_size=64, large_sep_mid=16, head_dim=64,
+            backbone_stages=(1, 1, 1, 1), backbone_widths=(32, 64, 96, 128),
             proposals=ProposalConfig(pre_nms_topk=128, post_nms_topk=32,
                                      pre_nms_topk_eval=128,
                                      post_nms_topk_eval=32, min_size=2.0),
@@ -110,6 +112,9 @@ def child_main(args):
             assert mgr.latest_step() is not None, "nothing to resume"
             state, data_state = mgr.restore(state)
             start = int(data_state["position"])
+            # Orbax restores single-device-committed arrays; re-place them
+            # replicated on the mesh before feeding the sharded step.
+            state = replicate_state(mesh, state)
             print(f"resumed at step {start}", flush=True)
 
     for i in range(start, args.steps):

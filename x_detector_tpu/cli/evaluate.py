@@ -40,7 +40,8 @@ def build_eval_fn(model, cfg):
                 score_threshold=cfg.model.nms.score_threshold,
                 fast_mode=cfg.model.nms.fast_mode,
                 ssd_anchor_cfg=cfg.model.ssd_anchors,
-                image_size=cfg.model.image_size)
+                image_size=cfg.model.image_size,
+                approx_prefilter=cfg.model.nms.approx_prefilter)
             return det.boxes, det.scores, det.classes, det.valid
     else:
         @jax.jit

@@ -75,6 +75,10 @@ class NMSConfig:
     # (ops/maxpool_nms.py): local-max selection on the per-layer score maps
     # replaces exact per-class greedy NMS. A/B'd in tools/fast_nms_ab.py.
     fast_mode: bool = False
+    # TPU-native approx_max_k candidate prefilter in multiclass NMS (the
+    # greedy NMS itself stays exact): 2.8x faster config-2 tail at 99.3%
+    # candidate recall (tools/bench_nms_tail.py; ops/nms.py docstring).
+    approx_prefilter: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

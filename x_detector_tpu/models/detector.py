@@ -26,6 +26,7 @@ def postprocess_detections(
     fast_mode: bool = False,
     ssd_anchor_cfg=None,         # SSDAnchorConfig, required for fast_mode
     image_size: int = 0,
+    approx_prefilter: bool = False,
 ) -> MulticlassNMSResult:
     """Softmax over classes, decode boxes, clip to image, per-class NMS.
 
@@ -70,4 +71,4 @@ def postprocess_detections(
     return batched_multiclass_nms(
         decoded, fg_probs, max_output=max_output,
         iou_threshold=iou_threshold, score_threshold=score_threshold,
-        per_class_topk=per_class_topk)
+        per_class_topk=per_class_topk, approx_prefilter=approx_prefilter)

@@ -232,7 +232,8 @@ def lighthead_postprocess(outputs: Dict[str, jnp.ndarray],
     return nms_lib.batched_multiclass_nms(
         decoded, fg_probs, max_output=ncfg.max_output,
         iou_threshold=ncfg.iou_threshold,
-        score_threshold=ncfg.score_threshold)
+        score_threshold=ncfg.score_threshold,
+        approx_prefilter=ncfg.approx_prefilter)
 
 
 def build_rpn_anchors(config: ModelConfig) -> np.ndarray:

@@ -208,6 +208,7 @@ def multiclass_nms(
     score_threshold: float = 0.01,
     per_class_topk: int = 100,
     nms_candidates: int = 256,
+    approx_prefilter: bool = False,
 ) -> MulticlassNMSResult:
     """Per-class NMS then global top-k merge (reference eval semantics,
     SURVEY.md §3.2: per class score filter -> NMS -> top-k).
@@ -217,6 +218,14 @@ def multiclass_nms(
     outside the top candidates can only enter the final top-``per_class_topk``
     if more candidates than ``nms_candidates - per_class_topk`` are
     suppressed above it — negligible, and it cuts the serial tile count).
+
+    ``approx_prefilter`` draws the candidates with the TPU-native
+    ``lax.approx_max_k`` instead of an exact sort-based ``top_k``: measured
+    2.8x faster on the whole config-2 tail (tools/bench_nms_tail.py, 5.53
+    -> 1.99 ms/batch-8) at 99.3% candidate recall / 99.5% coverage of the
+    exact top-100 (the prefilter is already an approximation by contract;
+    output remains descending-sorted, verified on hardware).  The greedy
+    NMS itself stays exact either way.
     """
     num_classes = class_scores.shape[1]
     if boxes.ndim == 2:
@@ -229,7 +238,10 @@ def multiclass_nms(
         presorted = cls_scores.shape[0] > nms_candidates
         if presorted:  # top_k emits descending scores: skip the NMS re-sort
             n = cls_boxes.shape[0]
-            top_s, idx = jax.lax.top_k(cls_scores, nms_candidates)
+            if approx_prefilter:
+                top_s, idx = jax.lax.approx_max_k(cls_scores, nms_candidates)
+            else:
+                top_s, idx = jax.lax.top_k(cls_scores, nms_candidates)
             # Row gather lowers serially on TPU (2.1 ms/batch across
             # classes x batch); at these shapes a one-hot contraction is a
             # tiny MXU matmul instead.
@@ -267,9 +279,11 @@ def batched_multiclass_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                            max_output: int, iou_threshold: float = 0.45,
                            score_threshold: float = 0.01,
                            per_class_topk: int = 100,
-                           nms_candidates: int = 256) -> MulticlassNMSResult:
+                           nms_candidates: int = 256,
+                           approx_prefilter: bool = False
+                           ) -> MulticlassNMSResult:
     """vmap of :func:`multiclass_nms` over a leading batch dim."""
     fn = lambda b, s: multiclass_nms(b, s, max_output, iou_threshold,
                                      score_threshold, per_class_topk,
-                                     nms_candidates)
+                                     nms_candidates, approx_prefilter)
     return jax.vmap(fn)(boxes, class_scores)
