@@ -19,6 +19,11 @@ from x_detector_tpu.utils.metrics_voc import VOCEvaluator
 
 STEPS = int(__import__('os').environ.get('CAPSTONE_STEPS', 12000))
 cfg = lighthead_xception(image_size=800)
+# CAPSTONE_SAMPLER=r1 restores the round-1 area-uniform crop distribution
+# (data/augment.py) for the sampler-vs-step mAP-delta attribution A/B.
+cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+    cfg.data,
+    crop_sampler=os.environ.get('CAPSTONE_SAMPLER', cfg.data.crop_sampler)))
 cfg = dataclasses.replace(cfg, train=dataclasses.replace(
     cfg.train, batch_size=16,
     learning_rate=float(os.environ.get('CAPSTONE_LR', 2e-3)), warmup_steps=200,

@@ -239,8 +239,12 @@ def ssd_resnet50(image_size: int = 512) -> ExperimentConfig:
     return ExperimentConfig(
         model=ModelConfig(name="ssd_resnet50", backbone="resnet50",
                           family="ssd", image_size=image_size,
+                          # approx_prefilter: measured +38% end-to-end
+                          # (504 -> 697 img/s) at identical held-out mAP
+                          # (0.4858 vs 0.4862, tools/fast_nms_ab.py)
                           nms=NMSConfig(iou_threshold=0.45,
-                                        score_threshold=0.01, max_output=200)),
+                                        score_threshold=0.01, max_output=200,
+                                        approx_prefilter=True)),
         data=DataConfig(image_size=image_size),
         # EMA shadow maintained and served by default for the single-shot
         # preset (reference T5 "maybe EMA"; eval/export prefer the shadow).
@@ -260,7 +264,8 @@ def xdet_xception(image_size: int = 512) -> ExperimentConfig:
                           family="ssd", image_size=image_size,
                           fpn_fusion=True,
                           nms=NMSConfig(iou_threshold=0.45,
-                                        score_threshold=0.01, max_output=200)),
+                                        score_threshold=0.01, max_output=200,
+                                        approx_prefilter=True)),
         data=DataConfig(image_size=image_size),
         train=TrainConfig(batch_size=8),
     )
