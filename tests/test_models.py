@@ -99,3 +99,49 @@ def test_xdet_trains():
     batch = get_batch(cfg)
     state, m = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_backbone_remat_matches_baseline_grads():
+    """remat_stages recomputes the forward during backward; outputs and
+    batch stats must match the save-everything default (jax.checkpoint is
+    exact up to fp reassociation). Covers both backbones at tiny
+    width/depth."""
+    from x_detector_tpu.models.resnet import ResNetV1
+    from x_detector_tpu.models.xception import XceptionLite
+
+    def assert_close(a, b):
+        # The recomputed forward lets XLA refuse/refactor different
+        # fusions, so backward grads reassociate: measured worst 1.3e-4
+        # rel on CPU. Tight enough to catch a wrong formula (order-1
+        # errors), loose enough for reassociation.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+    for base, remat in (
+        (XceptionLite(widths=(8, 8, 16, 16), units_per_stage=(1, 1, 1, 1),
+                      dtype=jnp.float32),
+         XceptionLite(widths=(8, 8, 16, 16), units_per_stage=(1, 1, 1, 1),
+                      remat_stages=4, dtype=jnp.float32)),
+        (ResNetV1(stage_sizes=(1, 1, 1, 1), widths=(4, 4, 8, 8),
+                  dtype=jnp.float32),
+         ResNetV1(stage_sizes=(1, 1, 1, 1), widths=(4, 4, 8, 8),
+                  remat_stages=4, dtype=jnp.float32)),
+    ):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        vars_ = base.init(jax.random.PRNGKey(0), x, train=True)
+        assert jax.tree_util.tree_structure(
+            remat.init(jax.random.PRNGKey(0), x, train=True)
+        ) == jax.tree_util.tree_structure(vars_)  # same param tree
+
+        def loss(params, model):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": vars_["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(v ** 2) for v in out.values()), mut
+
+        (l0, mut0), g0 = jax.value_and_grad(loss, has_aux=True)(
+            vars_["params"], base)
+        (l1, mut1), g1 = jax.value_and_grad(loss, has_aux=True)(
+            vars_["params"], remat)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree_util.tree_map(assert_close, (g0, mut0), (g1, mut1))

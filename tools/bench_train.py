@@ -42,6 +42,9 @@ def main():
                    help="capture a jax.profiler trace of 3 steps to this dir")
     p.add_argument("--no-aug", action="store_true",
                    help="skip device augmentation (isolate the train step)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="backbone_remat_stages override (recompute-for-"
+                        "bandwidth A/B, DESIGN §17)")
     p.add_argument("--pregen", action="store_true",
                    help="pre-stage raw batches outside the timed loop "
                         "(config-4 contract: aug + train step; data "
@@ -50,8 +53,11 @@ def main():
 
     cfg = lighthead_xception(image_size=args.image_size)
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch,
-                                       warmup_steps=0))
+        cfg,
+        model=dataclasses.replace(cfg.model,
+                                  backbone_remat_stages=args.remat),
+        train=dataclasses.replace(cfg.train, batch_size=args.batch,
+                                  warmup_steps=0))
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
                                           dtype=jnp.bfloat16)
     step_fn = make_train_step(model, cfg)

@@ -114,6 +114,11 @@ class ModelConfig:
     # production depth.
     backbone_stages: Optional[Tuple[int, ...]] = None
     backbone_widths: Optional[Tuple[int, ...]] = None
+    # First N backbone stages recompute forward in backward (nn.remat):
+    # trades cheap recompute FLOPs for saved-activation HBM traffic on the
+    # bandwidth-bound backbone backward (DESIGN §11/§17). Training-only
+    # effect; inference is untouched.
+    backbone_remat_stages: int = 0
     num_classes: int = NUM_VOC_CLASSES
     image_size: int = 800                 # square static input
     # Light-Head pieces (SURVEY.md §2.4 N3/N6):

@@ -55,6 +55,10 @@ class ResNetV1(nn.Module):
     stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
     widths: Tuple[int, ...] = (64, 128, 256, 512)
     dilate_c5: bool = True     # stride-16 dilated last stage (two-stage dets)
+    # First N stages recompute forward during backward (nn.remat per
+    # block): trades recompute for saved-activation HBM traffic on the
+    # bandwidth-bound backward (same knob as XceptionLite.remat_stages).
+    remat_stages: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -74,8 +78,11 @@ class ResNetV1(nn.Module):
                 stride, dilation = (1, 1), (2, 2)
             else:
                 stride, dilation = (2, 2), (1, 1)
+            # static_argnums counts self: (self, x, train) -> train is 2
+            block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                         if stage < self.remat_stages else Bottleneck)
             for block in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     width,
                     strides=stride if block == 0 else (1, 1),
                     dilation=dilation,

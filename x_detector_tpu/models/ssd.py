@@ -41,6 +41,8 @@ def make_backbone(cfg: ModelConfig, dilate_c5: bool, dtype,
            else "units_per_stage"] = cfg.backbone_stages
     if cfg.backbone_widths is not None:
         kw["widths"] = cfg.backbone_widths
+    if cfg.backbone_remat_stages:
+        kw["remat_stages"] = cfg.backbone_remat_stages
     if cfg.backbone == "resnet50":
         return ResNetV1(dilate_c5=dilate_c5, dtype=dtype, **kw)
     if cfg.backbone == "xception_lite":

@@ -102,6 +102,13 @@ class XceptionLite(nn.Module):
     # training-bound work.  (Same measure-first spirit as the 128-lane
     # width retuning above; DESIGN.md §11.)
     dense_stages: int = 0
+    # First N stages recompute their forward during backward
+    # (jax.checkpoint via nn.remat) instead of saving intermediates: the
+    # backbone backward is HBM-bandwidth-bound (DESIGN §11), so trading
+    # recompute FLOPs (cheap: depthwise) for saved-activation traffic on
+    # the huge early-stage tensors ([B,200,200,128] at 800px) can beat
+    # the save-everything default.  Measured knob — see bench_train.
+    remat_stages: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -122,22 +129,28 @@ class XceptionLite(nn.Module):
         x = ConvBN(self.widths[0], (12, 3), strides=(4, 1),
                    padding=((4, 4), (1, 1)), dtype=self.dtype,
                    name="stem")(x.astype(self.dtype), train)
-        x = XceptionStage(self.widths[0], self.units_per_stage[0],
-                          entry_stride=(1, 1), dense=self.dense_stages >= 1,
-                          dtype=self.dtype,
-                          name="stage1")(x, train)              # s4
-        c3 = XceptionStage(self.widths[1], self.units_per_stage[1],
-                           dense=self.dense_stages >= 2,
-                           dtype=self.dtype, name="stage2")(x, train)  # s8
-        c4 = XceptionStage(self.widths[2], self.units_per_stage[2],
-                           dtype=self.dtype, name="stage3")(c3, train)  # s16
+
+        def stage(i):
+            # static_argnums counts self: (self, x, train) -> train is 2
+            return (nn.remat(XceptionStage, static_argnums=(2,))
+                    if i <= self.remat_stages else XceptionStage)
+
+        x = stage(1)(self.widths[0], self.units_per_stage[0],
+                     entry_stride=(1, 1), dense=self.dense_stages >= 1,
+                     dtype=self.dtype,
+                     name="stage1")(x, train)              # s4
+        c3 = stage(2)(self.widths[1], self.units_per_stage[1],
+                      dense=self.dense_stages >= 2,
+                      dtype=self.dtype, name="stage2")(x, train)  # s8
+        c4 = stage(3)(self.widths[2], self.units_per_stage[2],
+                      dtype=self.dtype, name="stage3")(c3, train)  # s16
         if self.dilate_c5:
-            c5 = XceptionStage(self.widths[3], self.units_per_stage[3],
-                               entry_stride=(1, 1), dilation=(2, 2),
-                               dtype=self.dtype, name="stage4")(c4, train)
+            c5 = stage(4)(self.widths[3], self.units_per_stage[3],
+                          entry_stride=(1, 1), dilation=(2, 2),
+                          dtype=self.dtype, name="stage4")(c4, train)
         else:
-            c5 = XceptionStage(self.widths[3], self.units_per_stage[3],
-                               dtype=self.dtype, name="stage4")(c4, train)
+            c5 = stage(4)(self.widths[3], self.units_per_stage[3],
+                          dtype=self.dtype, name="stage4")(c4, train)
         return {"c3": c3, "c4": c4, "c5": c5}
 
 
