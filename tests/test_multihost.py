@@ -23,8 +23,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_matches_single_process():
+def _spawn_dp_children():
     here = os.path.dirname(os.path.abspath(__file__))
     child = os.path.join(here, "_multihost_child.py")
     coord = f"127.0.0.1:{_free_port()}"
@@ -47,6 +46,20 @@ def test_two_process_dp_matches_single_process():
             if line.startswith("MULTIHOST_LOSS"):
                 _, pid, loss = line.split()
                 losses[int(pid)] = float(loss)
+    return losses, outs, errs, rcs
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process():
+    losses, outs, errs, rcs = _spawn_dp_children()
+    if set(losses) != {0, 1} and any(
+            "DEADLINE_EXCEEDED" in e for e in errs):
+        # Known 1-core-CI flake: the Gloo/coordination KV handshake has a
+        # hard 30 s deadline, and a loaded host can starve a child past it
+        # during INIT (observed with pytest + a TPU host loop sharing the
+        # core). That's a timeout before any math ran — retry once; a
+        # genuine transport/math failure reproduces.
+        losses, outs, errs, rcs = _spawn_dp_children()
     # The DP step itself must have succeeded on both processes (both loss
     # lines present).  A nonzero exit with the loss already printed is the
     # known shutdown-barrier raciness on an overloaded host (the two
