@@ -2,8 +2,12 @@
 step fused in one jit, fresh data every step; held-out eval on a disjoint
 key stream.
 
-Backs the README "held-out mAP 0.69 after 12k steps / 220 img/s" row
-(round-2 re-run, one v5e chip, 2026-08-17; round 1: 0.72 / 171 img/s with the pre-oracle crop sampler).
+Backs the README "held-out mAP 0.70 after 12k steps / 222 img/s" row
+(round-3 run, one v5e chip, 2026-08-17) and the DESIGN §18 sampler
+attribution A/B: CAPSTONE_SAMPLER=r1 restores the round-1 area-uniform
+crop distribution (scored 0.6069 vs the oracle sampler's 0.6989 under
+the identical round-3 train step; round 1's 0.72 came from the round-1
+step + r1 sampler at 171 img/s).
 
   PYTHONPATH=. python tools/train_synthetic_capstone.py
 """
