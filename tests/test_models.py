@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from x_detector_tpu.config import ModelConfig, ssd_resnet50
 from x_detector_tpu.models.resnet import resnet50
@@ -101,6 +102,8 @@ def test_xdet_trains():
     assert np.isfinite(float(m["total_loss"]))
 
 
+@pytest.mark.slow  # 4 value_and_grad compiles (~70s solo on the 1-core
+# host); guards a default-off knob, so the quick tier skips it
 def test_backbone_remat_matches_baseline_grads():
     """remat_stages recomputes the forward during backward; outputs and
     batch stats must match the save-everything default (jax.checkpoint is
