@@ -2,12 +2,13 @@
 step fused in one jit, fresh data every step; held-out eval on a disjoint
 key stream.
 
-Backs the README "held-out mAP 0.70 after 12k steps / 222 img/s" row
-(round-3 run, one v5e chip, 2026-08-17) and the DESIGN §18 sampler
-attribution A/B: CAPSTONE_SAMPLER=r1 restores the round-1 area-uniform
-crop distribution (scored 0.6069 vs the oracle sampler's 0.6989 under
-the identical round-3 train step; round 1's 0.72 came from the round-1
-step + r1 sampler at 171 img/s).
+Backs the README "held-out mAP 0.688 ± 0.011 (2 seeds) / 222 img/s" row
+(round-3 runs, one v5e chip, 2026-08-17) and the DESIGN §18 2×2
+sampler-vs-seed A/B: CAPSTONE_SAMPLER=r1 restores the round-1
+area-uniform crop distribution, CAPSTONE_SEED varies init + data stream.
+Measured mAP — r1 sampler: 0.6069 (seed 0) / 0.7031 (seed 1); oracle
+sampler: 0.6989 / 0.6777. Same-arm seed spread (±0.05) exceeds both the
+arm difference and round 2's "0.72 -> 0.69 regression" (seed noise).
 
   PYTHONPATH=. python tools/train_synthetic_capstone.py
 """
@@ -33,7 +34,12 @@ cfg = dataclasses.replace(cfg, train=dataclasses.replace(
     learning_rate=float(os.environ.get('CAPSTONE_LR', 2e-3)), warmup_steps=200,
     lr_boundaries=(int(STEPS * 2 / 3), int(STEPS * 7 / 8)),
     lr_decays=(1.0, 0.3, 0.1)))
-model, state = create_model_and_state(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+# CAPSTONE_SEED varies init + train-data stream for error bars (DESIGN
+# §18); the eval stream stays fixed so every run scores the same
+# held-out set.
+SEED = int(os.environ.get('CAPSTONE_SEED', 0))
+model, state = create_model_and_state(cfg, jax.random.PRNGKey(SEED),
+                                      dtype=jnp.bfloat16)
 step_fn = make_train_step(model, cfg)
 
 @jax.jit
@@ -43,7 +49,7 @@ def fused(state, key):
     batch = preprocess_batch_for_train(ka, raw, cfg.data)
     return step_fn(state, batch, ks)
 
-key0 = jax.random.PRNGKey(7)
+key0 = jax.random.fold_in(jax.random.PRNGKey(7), SEED)
 state, m = fused(state, jax.random.fold_in(key0, 0))
 _ = float(np.asarray(m["total_loss"]))
 t0 = time.perf_counter()
