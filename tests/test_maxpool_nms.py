@@ -165,3 +165,56 @@ def test_postprocess_fast_mode_finds_isolated_boxes():
     # through center/size form: compare with tolerance, order-free)
     for e in expect:
         assert any(np.allclose(g, e, atol=1e-5) for g in top2)
+
+
+def test_fast_mode_without_anchor_cfg_raises():
+    # Round-4 fix (VERDICT weak #3): the anchor config is statically known
+    # at every call site, so asking for the fast path without it is a bug
+    # the caller must hear about — not a silent exact-NMS fallback.
+    import pytest
+
+    from x_detector_tpu.models.detector import postprocess_detections
+    from x_detector_tpu.models.lighthead import generate_proposals
+
+    acfg = AnchorConfig()
+    image_size = 128
+    anchors = jnp.asarray(anchor_lib.rpn_anchors(image_size, acfg))
+    A = anchors.shape[0]
+    pcfg = ProposalConfig(post_nms_topk_eval=8, pre_nms_topk_eval=64,
+                          fast_nms=True)
+    with pytest.raises(ValueError, match="anchor_cfg"):
+        generate_proposals(jnp.zeros((1, A, 2)), jnp.zeros((1, A, 4)),
+                           anchors, pcfg, image_size, training=False,
+                           anchor_cfg=None)
+
+    scfg = SSDAnchorConfig()
+    s_anchors = jnp.asarray(anchor_lib.ssd_anchors(256, scfg))
+    N = s_anchors.shape[0]
+    with pytest.raises(ValueError, match="ssd_anchor_cfg"):
+        postprocess_detections(jnp.zeros((1, N, 4)), jnp.zeros((1, N, 3)),
+                               s_anchors, fast_mode=True,
+                               ssd_anchor_cfg=None, image_size=256)
+
+
+def test_fast_path_zeroes_invalid_proposal_boxes():
+    # ADVICE round-3: invalid slots must carry zero boxes (nms_padded's
+    # padding contract), not arbitrary gathered anchors.
+    from x_detector_tpu.models.lighthead import generate_proposals
+
+    acfg = AnchorConfig()
+    image_size = 128
+    anchors = jnp.asarray(anchor_lib.rpn_anchors(image_size, acfg))
+    A = anchors.shape[0]
+    pcfg = ProposalConfig(post_nms_topk_eval=64, pre_nms_topk_eval=128,
+                          min_size=1.0, fast_nms=True)
+    # Strictly decreasing fg logits by flat index: within each anchor
+    # channel the score decreases in raster order, so cell (0, 0) is the
+    # only local max per channel -> exactly 15 survivors, 49 invalid slots.
+    cls = np.zeros((1, A, 2), np.float32)
+    cls[0, :, 1] = -np.arange(A, dtype=np.float32) * 1e-3
+    props, scores, valid = generate_proposals(
+        jnp.asarray(cls), jnp.zeros((1, A, 4)), anchors, pcfg, image_size,
+        training=False, anchor_cfg=acfg)
+    v = np.asarray(valid[0])
+    assert v.sum() == 15 and not v.all()
+    np.testing.assert_array_equal(np.asarray(props[0][~v]), 0.0)

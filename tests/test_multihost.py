@@ -49,8 +49,22 @@ def _spawn_dp_children():
     return losses, outs, errs, rcs
 
 
+def _is_barrier_timeout(err: str) -> bool:
+    """The ONE forgivable child failure: a coordination-service deadline in
+    the shutdown/barrier path (the two processes reach
+    jax.distributed.shutdown() far apart on an overloaded 1-core host).
+    Keyed on the signature, not on 'loss printed', so any other post-loss
+    crash (e.g. a future checkpoint-write failure) still fails the test."""
+    low = err.lower()
+    return "deadline_exceeded" in low and ("barrier" in low or
+                                           "shutdown" in low or
+                                           "heartbeat" in low)
+
+
 @pytest.mark.slow
 def test_two_process_dp_matches_single_process():
+    import warnings
+
     losses, outs, errs, rcs = _spawn_dp_children()
     if set(losses) != {0, 1} and any(
             "DEADLINE_EXCEEDED" in e for e in errs):
@@ -59,17 +73,21 @@ def test_two_process_dp_matches_single_process():
         # during INIT (observed with pytest + a TPU host loop sharing the
         # core). That's a timeout before any math ran — retry once; a
         # genuine transport/math failure reproduces.
+        warnings.warn("multihost DP: init-deadline flake, retrying the "
+                      "two-process spawn once")
         losses, outs, errs, rcs = _spawn_dp_children()
     # The DP step itself must have succeeded on both processes (both loss
-    # lines present).  A nonzero exit with the loss already printed is the
-    # known shutdown-barrier raciness on an overloaded host (the two
-    # processes reach jax.distributed.shutdown() far apart and the barrier
-    # times out) — the transport math under test is unaffected, so that
-    # specific late failure is tolerated.
-    if set(losses) != {0, 1}:
-        assert all(rc == 0 for rc in rcs), errs[rcs.index(
-            next(rc for rc in rcs if rc != 0))][-2000:]
-        assert set(losses) == {0, 1}, outs
+    # lines present)...
+    assert set(losses) == {0, 1}, (outs, errs)
+    # ...and a nonzero exit is forgiven ONLY for the known shutdown-barrier
+    # raciness, identified by its stderr signature.
+    for rc, err in zip(rcs, errs):
+        if rc != 0:
+            assert _is_barrier_timeout(err), (
+                f"child exited rc={rc} without the shutdown-barrier "
+                f"signature:\n{err[-2000:]}")
+            warnings.warn(f"multihost DP: tolerated rc={rc} child with "
+                          "shutdown-barrier timeout signature")
     # pmean makes the loss global: both hosts must report the same number
     assert abs(losses[0] - losses[1]) < 1e-6, losses
 

@@ -20,7 +20,10 @@ Stages (cumulative prefixes, differenced):
                   NMS + PSROIAlign + ROI head)
   +postprocess    decode + per-class NMS (the eval-CLI tail)
 
-  PYTHONPATH=. python tools/bench_infer.py --preset lighthead_resnet50 \
+Run WITHOUT setting PYTHONPATH (this script inserts its own sys.path;
+``PYTHONPATH=.`` would clobber /root/.axon_site and kill the TPU backend):
+
+  python tools/bench_infer.py --preset lighthead_resnet50 \
       --batch 16 [--iters 16] [--passes 3] [--profile DIR]
 """
 

@@ -10,7 +10,10 @@ Also reports XLA's own cost analysis for the compiled step (flops) and the
 derived MFU against the v5e bf16 peak, so optimization work has a
 speed-of-light reference.
 
-  PYTHONPATH=. python tools/bench_train.py [--steps 30] [--profile DIR]
+Run WITHOUT setting PYTHONPATH (this script inserts its own sys.path;
+``PYTHONPATH=.`` would clobber /root/.axon_site and kill the TPU backend):
+
+  python tools/bench_train.py [--steps 30] [--profile DIR]
 """
 import argparse
 import os

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x_detector_tpu.config import lighthead_xception, ssd_resnet50
+from x_detector_tpu.config import (lighthead_xception, ssd_resnet50,
+                                   xdet_xception)
 from x_detector_tpu.data.augment import (preprocess_batch_for_train,
                                          preprocess_for_eval)
 from x_detector_tpu.data.synthetic import synthetic_batch_device
@@ -153,12 +154,14 @@ def throughput(cfg, detect, variables, iters: int = 8,
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--family", default="both",
-                   choices=["lighthead", "ssd", "both"])
+                   choices=["lighthead", "ssd", "xdet", "both", "all"])
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--eval-batches", type=int, default=10)
     args = p.parse_args()
 
-    fams = ["lighthead", "ssd"] if args.family == "both" else [args.family]
+    fams = {"both": ["lighthead", "ssd"],
+            "all": ["lighthead", "ssd", "xdet"]}.get(args.family,
+                                                     [args.family])
     for fam in fams:
         if fam == "lighthead":
             cfg = lighthead_xception(image_size=800)
@@ -169,7 +172,8 @@ def main():
                     lr_boundaries=(args.steps * 2 // 3, args.steps * 7 // 8),
                     lr_decays=(1.0, 0.3, 0.1)))
         else:
-            cfg = ssd_resnet50(image_size=512)
+            cfg = (ssd_resnet50 if fam == "ssd" else xdet_xception)(
+                image_size=512)
             cfg = dataclasses.replace(
                 cfg, train=dataclasses.replace(
                     cfg.train, learning_rate=2e-3, warmup_steps=200,

@@ -10,7 +10,10 @@ Measured mAP — r1 sampler: 0.6069 (seed 0) / 0.7031 (seed 1); oracle
 sampler: 0.6989 / 0.6777. Same-arm seed spread (±0.05) exceeds both the
 arm difference and round 2's "0.72 -> 0.69 regression" (seed noise).
 
-  PYTHONPATH=. python tools/train_synthetic_capstone.py
+Run WITHOUT setting PYTHONPATH (this script inserts its own sys.path;
+``PYTHONPATH=.`` would clobber /root/.axon_site and kill the TPU backend):
+
+  python tools/train_synthetic_capstone.py
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))

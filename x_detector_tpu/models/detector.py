@@ -45,7 +45,14 @@ def postprocess_detections(
         decoded = box_ops.decode(box_codes.astype(jnp.float32),
                                  anchors[None, :, None, :])
     decoded = box_ops.clip_boxes(decoded)
-    if fast_mode and ssd_anchor_cfg is not None:
+    if fast_mode and ssd_anchor_cfg is None:
+        # The anchor config is always statically known at every call site;
+        # silently falling back to exact NMS here would hand a caller who
+        # asked for fast_mode exact-NMS timings without telling them.
+        raise ValueError("fast_mode=True requires ssd_anchor_cfg (the SSD "
+                         "anchor grid geometry drives MaxpoolNMS window "
+                         "sizes); got None")
+    if fast_mode:
         from x_detector_tpu.ops.maxpool_nms import ssd_maxpool_scores
         masked = ssd_maxpool_scores(fg_probs, ssd_anchor_cfg, image_size,
                                     iou_threshold)

@@ -109,14 +109,23 @@ def generate_proposals(
                 num_anchors)
     k_post = cfg.post_nms_topk if training else cfg.post_nms_topk_eval
 
-    if cfg.fast_nms and anchor_cfg is not None:
+    if cfg.fast_nms and anchor_cfg is None:
+        # Statically known at every call site; a silent exact-NMS fallback
+        # would misreport fast-path timings to anyone who set the flag.
+        raise ValueError("ProposalConfig.fast_nms=True requires anchor_cfg "
+                         "(grid geometry drives MaxpoolNMS windows); got None")
+    if cfg.fast_nms:
         from x_detector_tpu.ops.maxpool_nms import rpn_maxpool_scores
         masked = rpn_maxpool_scores(scores, anchor_cfg, image_size,
                                     cfg.nms_threshold)
 
         def one_image_fast(s, b):
             top_s, top_i = jax.lax.top_k(s, k_post)
-            return b[top_i], top_s, top_s > 0.0
+            valid = top_s > 0.0
+            # Zero the boxes of invalid slots to match nms_padded's padding
+            # contract (downstream consumers that ignore the valid mask see
+            # zeros, not arbitrary gathered anchors).
+            return jnp.where(valid[:, None], b[top_i], 0.0), top_s, valid
 
         return jax.vmap(one_image_fast)(masked, boxes)
 

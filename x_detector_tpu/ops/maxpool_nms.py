@@ -4,8 +4,11 @@ Opt-in fast mode (SURVEY.md §2.5 rebuild contract; docs/ROADMAP.md item 5),
 after the PSRR-MaxpoolNMS idea (PAPERS.md, arXiv:2105.12990 — reconstructed
 from the abstract's idea, not the paper text, which is unfetchable here):
 greedy NMS over N score-sorted boxes is replaced by a **single max-pool** per
-anchor channel — a box survives iff its objectness is the strict local
-maximum of its channel within a window matched to the anchor's footprint.
+anchor channel — a box survives iff its objectness EQUALS the local maximum
+of its channel within a window matched to the anchor's footprint (``>=`` the
+pooled value, so every member of an equal-score plateau survives; with
+quantized or saturated scores a plateau can flood the global top-k — the
+trade for a branch-free compare).
 No sort, no sequential tile walk, no IoU matrices: one ``reduce_window``
 plus a compare, fully parallel on the VPU.
 
@@ -47,8 +50,11 @@ def _kernel_for(anchor_px: float, stride: int, iou_threshold: float,
     """
     r = anchor_px * (1.0 - iou_threshold) / (1.0 + iou_threshold) / stride
     k = 2 * max(1, int(round(r))) + 1
-    # never wider than the map; never below 3 (a 1-wide window suppresses
-    # nothing and the channel floods the top-k)
+    # Clamp to the map, but never below 3 (a 1-wide window suppresses
+    # nothing and the channel floods the top-k).  The floor wins over the
+    # cap: on maps narrower than 3 cells the returned 3 exceeds the map and,
+    # via SAME padding, degrades to global-max selection — one survivor per
+    # channel, deliberate over-suppression rather than none.
     return max(3, min(k, feat if feat % 2 == 1 else feat - 1))
 
 

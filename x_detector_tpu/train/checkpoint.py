@@ -89,10 +89,17 @@ class CheckpointManager:
         # this instead of parsing Orbax's private on-disk manifest.  Written
         # synchronously — it is tiny — even though the payload save is async;
         # an orphan sidecar from a crashed save is ignored (restore() only
-        # looks up steps the manager reports).
+        # looks up steps the manager reports).  Process 0 only (the dir is
+        # shared in multi-process training) and written via temp-file +
+        # os.replace so a crash can never leave a torn/partial sidecar.
+        import jax
         import json
-        with open(self._meta_path(step), "w") as f:
+        if jax.process_index() != 0:
+            return
+        tmp = self._meta_path(step) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"has_ema": state.ema_params is not None}, f)
+        os.replace(tmp, self._meta_path(step))
         live = set(self._mgr.all_steps()) | {step}
         for name in os.listdir(self._dir):
             if name.startswith("meta-") and name.endswith(".json"):
