@@ -79,3 +79,43 @@ def test_serving_bucket_picker_and_padding():
     import pytest
     with pytest.raises(ValueError):
         serving.bucketed_letterbox_batch(imgs * 4, 64, [1, 4, 8])
+
+
+@pytest.mark.slow
+def test_export_roundtrip_int8_backbone(tmp_path):
+    """--quant int8 export path: the quantized pipeline serializes, reloads
+    without model code, and matches the live int8 model bit-for-bit (the
+    weight round/clip/cast is constant-folded into the artifact)."""
+    import dataclasses
+
+    from jax import export as jexport
+
+    from test_train import get_batch, small_ssd_cfg
+    from x_detector_tpu import quant
+    from x_detector_tpu.cli.evaluate import build_eval_fn
+    from x_detector_tpu.train.trainer import create_model_and_state
+
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    images = get_batch(cfg)["image"]
+    qv = quant.calibrate_backbone(cfg, variables, [images],
+                                  dtype=jnp.float32)
+    qcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backbone_quant="int8"))
+    qmodel = quant.build_detector(qcfg.model, dtype=jnp.float32)
+    eval_fn = build_eval_fn(qmodel, qcfg)
+    qvars = dict(variables, quant=qv)
+
+    def serving_fn(imgs):
+        return eval_fn(qvars, imgs)
+
+    spec = jax.ShapeDtypeStruct(images.shape, jnp.float32)
+    blob = jexport.export(jax.jit(serving_fn))(spec).serialize()
+    fn = jexport.deserialize(blob)
+    rb, rs, rc, rv = map(np.asarray, fn.call(images))
+    lb, ls, lc, lv = map(np.asarray, serving_fn(images))
+    np.testing.assert_allclose(rs, ls, atol=1e-5)
+    assert (rc == lc).all() and (rv == lv).all()
+    np.testing.assert_allclose(rb, lb, atol=1e-3)

@@ -48,6 +48,16 @@ def main(argv=None):
     p.add_argument("--raw-rgb", action="store_true",
                    help="bake eval preprocessing (resize+whiten) in, taking "
                         "raw [0,255] RGB of the model input size")
+    p.add_argument("--quant", default="none", choices=("none", "int8"),
+                   help="int8: post-training-quantized backbone "
+                        "(x_detector_tpu/quant.py) — per-channel int8 "
+                        "weights constant-folded into the artifact, "
+                        "calibrated static activation scales; heads/NMS "
+                        "stay bf16/fp32")
+    p.add_argument("--calib-batches", type=int, default=8,
+                   help="calibration batches for --quant int8 (synthetic "
+                        "eval-preprocessed images; swap in real data by "
+                        "calling quant.calibrate_backbone directly)")
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
@@ -65,9 +75,26 @@ def main(argv=None):
     if variables["params"] is state.ema_params:
         print("exporting EMA shadow weights")
 
-    eval_fn = build_eval_fn(model, cfg)
-
     size = cfg.model.image_size
+    if args.quant == "int8":
+        import dataclasses
+
+        from x_detector_tpu import quant as quant_lib
+        from x_detector_tpu.data.synthetic import synthetic_batch_device
+        gen = jax.jit(lambda k: synthetic_batch_device(
+            k, args.batch, size, cfg.data.max_gt_boxes)["image"])
+        pre = jax.jit(jax.vmap(lambda im: preprocess_for_eval(im, cfg.data)))
+        batches = (pre(gen(jax.random.PRNGKey(10_000 + i)))
+                   for i in range(args.calib_batches))
+        qv = quant_lib.calibrate_backbone(cfg, variables, batches,
+                                          dtype=dtype)
+        variables = dict(variables, quant=qv)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, backbone_quant="int8"))
+        model = quant_lib.build_detector(cfg.model, dtype)
+        print(f"calibrated int8 backbone on {args.calib_batches} batches")
+
+    eval_fn = build_eval_fn(model, cfg)
     spec = jax.ShapeDtypeStruct((args.batch, size, size, 3), jnp.float32)
     from jax import export as jexport
 

@@ -3,6 +3,25 @@
 Numerics policy (SURVEY.md §7: bf16 matmul/conv, fp32 accumulation/params):
 params live in fp32; convolutions compute in ``dtype`` (bfloat16 by default)
 which XLA maps onto the MXU; batch-norm statistics stay fp32.
+
+Post-training int8 quantization (round 4, DESIGN §19/§20): backbone convs
+optionally run as int8 x int8 -> int32 MXU ops — v5e doubles its matmul
+peak in int8 and the judged backbones are HBM-bandwidth-bound, so int8
+halves the bytes of exactly the stages the rooflines say are stuck.  The
+``quant`` attribute threads through ConvBN/SeparableConvBN:
+
+  None          production bf16 path (nn.Conv), byte-identical to round 3
+  "calibrate"   bf16 math + record each conv input's absolute max into a
+                ``quant`` variables collection (one scalar per conv)
+  "int8"        per-output-channel symmetric int8 weights, per-tensor
+                static int8 activations from the calibrated amax; conv in
+                int8 with int32 accumulation, dequantized into the bf16
+                epilogue (BN affine + ReLU fuse exactly as before)
+
+Weight quantization happens inside the call so trained fp32 checkpoints
+load unchanged (same param tree); on the ``jax.export`` serving path the
+weights are closed-over constants, so XLA constant-folds the
+round/clip/cast and the artifact carries int8 weights.
 """
 
 from __future__ import annotations
@@ -12,8 +31,73 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 Dtype = Any
+
+
+class QuantConv(nn.Module):
+    """Drop-in conv for ConvBN/SeparableConvBN's quantized modes.
+
+    Mirrors ``nn.Conv``'s parameter structure exactly (``kernel`` fp32
+    [kh, kw, cin/groups, cout], optional ``bias``) so a variables pytree
+    trained with the normal path loads without remapping; adds one scalar
+    ``act_amax`` in the ``quant`` collection (the static activation range,
+    filled by a calibration pass with ``mutable=["quant"]``).
+    """
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = False
+    mode: str = "calibrate"               # "calibrate" | "int8"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kshape = (*self.kernel_size, cin // self.feature_group_count,
+                  self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            kshape, jnp.float32)
+        amax = self.variable("quant", "act_amax",
+                             lambda: jnp.zeros((), jnp.float32))
+        dn = lax.conv_dimension_numbers(x.shape, kshape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        if self.mode == "calibrate":
+            if not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                feature_group_count=self.feature_group_count)
+        elif self.mode == "int8":
+            # Per-output-channel symmetric weight scales: amax over
+            # (kh, kw, cin) per cout — int32 accumulators rescale with one
+            # [cout] multiply the VPU fuses into the dequant epilogue.
+            sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                             1e-8) / 127.0                     # [cout]
+            kq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+            sx = jnp.maximum(amax.value, 1e-6) / 127.0         # scalar
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            yi = lax.conv_general_dilated(
+                xq, kq, self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                feature_group_count=self.feature_group_count,
+                preferred_element_type=jnp.int32)
+            y = (yi.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+        else:
+            raise ValueError(f"unknown QuantConv mode {self.mode!r}")
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
 
 
 class BatchNorm2D(nn.Module):
@@ -74,6 +158,7 @@ class ConvBN(nn.Module):
     relu: bool = True
     use_bn: bool = True
     padding: Any = "SAME"
+    quant: Any = None          # None | "calibrate" | "int8" (module doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -83,10 +168,18 @@ class ConvBN(nn.Module):
             padding = tuple(
                 ((k - 1) // 2 * d, (k - 1) // 2 * d)
                 for k, d in zip(self.kernel, self.dilation))
-        x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    kernel_dilation=self.dilation, padding=padding,
-                    use_bias=not self.use_bn, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        if self.quant is None:
+            x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                        kernel_dilation=self.dilation, padding=padding,
+                        use_bias=not self.use_bn, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
+        else:
+            # name="Conv_0" replicates nn.Conv's auto-name so the param
+            # tree is identical and trained checkpoints load unchanged
+            x = QuantConv(self.features, self.kernel, strides=self.strides,
+                          kernel_dilation=self.dilation, padding=padding,
+                          use_bias=not self.use_bn, mode=self.quant,
+                          dtype=self.dtype, name="Conv_0")(x)
         if self.use_bn:
             x = BatchNorm2D(dtype=self.dtype, name="bn")(x, train)
         if self.relu:
@@ -112,11 +205,29 @@ class SeparableConvBN(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     relu: bool = True
     dense: bool = False
+    quant: Any = None          # None | "calibrate" | "int8" (module doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.dense:
+        if self.quant is not None:
+            # QuantConv named to replicate nn.Conv's auto-names so the
+            # param tree matches trained checkpoints exactly
+            if self.dense:
+                x = QuantConv(self.features, (3, 3), strides=self.strides,
+                              kernel_dilation=self.dilation, padding="SAME",
+                              mode=self.quant, dtype=self.dtype,
+                              name="Conv_0")(x)
+            else:
+                in_features = x.shape[-1]
+                x = QuantConv(in_features, (3, 3), strides=self.strides,
+                              kernel_dilation=self.dilation, padding="SAME",
+                              feature_group_count=in_features,
+                              mode=self.quant, dtype=self.dtype,
+                              name="Conv_0")(x)
+                x = QuantConv(self.features, (1, 1), mode=self.quant,
+                              dtype=self.dtype, name="Conv_1")(x)
+        elif self.dense:
             x = nn.Conv(self.features, (3, 3), strides=self.strides,
                         kernel_dilation=self.dilation, padding="SAME",
                         use_bias=False, dtype=self.dtype,

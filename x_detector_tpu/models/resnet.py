@@ -27,6 +27,7 @@ class Bottleneck(nn.Module):
     features: int            # inner width; output is 4x
     strides: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
+    quant: Any = None        # None | "calibrate" | "int8" (layers.py doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -35,13 +36,15 @@ class Bottleneck(nn.Module):
         shortcut = x
         if x.shape[-1] != out_features or self.strides != (1, 1):
             shortcut = ConvBN(out_features, (1, 1), strides=self.strides,
-                              relu=False, dtype=self.dtype,
+                              relu=False, quant=self.quant, dtype=self.dtype,
                               name="proj")(x, train)
-        y = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+        y = ConvBN(self.features, (1, 1), quant=self.quant,
+                   dtype=self.dtype)(x, train)
         y = ConvBN(self.features, (3, 3), strides=self.strides,
                    dilation=self.dilation, padding="EXPLICIT",
+                   quant=self.quant, dtype=self.dtype)(y, train)
+        y = ConvBN(out_features, (1, 1), relu=False, quant=self.quant,
                    dtype=self.dtype)(y, train)
-        y = ConvBN(out_features, (1, 1), relu=False, dtype=self.dtype)(y, train)
         return nn.relu(y + shortcut)
 
 
@@ -59,6 +62,7 @@ class ResNetV1(nn.Module):
     # block): trades recompute for saved-activation HBM traffic on the
     # bandwidth-bound backward (same knob as XceptionLite.remat_stages).
     remat_stages: int = 0
+    quant: Any = None          # None | "calibrate" | "int8" (layers.py doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -66,7 +70,7 @@ class ResNetV1(nn.Module):
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
         x = ConvBN(64, (7, 7), strides=(2, 2), padding="EXPLICIT",
-                   dtype=self.dtype, name="stem")(x, train)
+                   quant=self.quant, dtype=self.dtype, name="stem")(x, train)
         x = max_pool(x, 3, 2, explicit_pad=True)               # stride 4
         feats: Dict[str, jnp.ndarray] = {}
         for stage, (n_blocks, width) in enumerate(
@@ -86,6 +90,7 @@ class ResNetV1(nn.Module):
                     width,
                     strides=stride if block == 0 else (1, 1),
                     dilation=dilation,
+                    quant=self.quant,
                     dtype=self.dtype,
                     name=f"stage{stage + 1}_block{block}")(x, train)
             if stage == 1:

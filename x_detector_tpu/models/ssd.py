@@ -43,6 +43,8 @@ def make_backbone(cfg: ModelConfig, dilate_c5: bool, dtype,
         kw["widths"] = cfg.backbone_widths
     if cfg.backbone_remat_stages:
         kw["remat_stages"] = cfg.backbone_remat_stages
+    if cfg.backbone_quant is not None:
+        kw["quant"] = cfg.backbone_quant
     if cfg.backbone == "resnet50":
         return ResNetV1(dilate_c5=dilate_c5, dtype=dtype, **kw)
     if cfg.backbone == "xception_lite":

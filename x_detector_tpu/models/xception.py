@@ -51,6 +51,7 @@ class XceptionStage(nn.Module):
     entry_stride: Tuple[int, int] = (2, 2)
     dilation: Tuple[int, int] = (1, 1)
     dense: bool = False        # dense 3x3 blocks instead of separable
+    quant: Any = None          # None | "calibrate" | "int8" (layers.py doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -60,15 +61,16 @@ class XceptionStage(nn.Module):
             shortcut = x
             if stride != (1, 1) or x.shape[-1] != self.features:
                 shortcut = ConvBN(self.features, (1, 1), strides=stride,
-                                  relu=False, dtype=self.dtype,
+                                  relu=False, quant=self.quant,
+                                  dtype=self.dtype,
                                   name=f"proj{unit}")(x, train)
             y = SeparableConvBN(self.features, strides=stride,
                                 dilation=self.dilation, dense=self.dense,
-                                dtype=self.dtype,
+                                quant=self.quant, dtype=self.dtype,
                                 name=f"sep{unit}a")(x, train)
             y = SeparableConvBN(self.features, dilation=self.dilation,
                                 relu=False, dense=self.dense,
-                                dtype=self.dtype,
+                                quant=self.quant, dtype=self.dtype,
                                 name=f"sep{unit}b")(y, train)
             x = nn.relu(y + shortcut)
         return x
@@ -109,6 +111,7 @@ class XceptionLite(nn.Module):
     # the huge early-stage tensors ([B,200,200,128] at 800px) can beat
     # the save-everything default.  Measured knob — see bench_train.
     remat_stages: int = 0
+    quant: Any = None          # None | "calibrate" | "int8" (layers.py doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -127,7 +130,8 @@ class XceptionLite(nn.Module):
         # 1.30 (column width 4px is the max that divides the stride).
         x = x.reshape(b, h, w // 4, 12)
         x = ConvBN(self.widths[0], (12, 3), strides=(4, 1),
-                   padding=((4, 4), (1, 1)), dtype=self.dtype,
+                   padding=((4, 4), (1, 1)), quant=self.quant,
+                   dtype=self.dtype,
                    name="stem")(x.astype(self.dtype), train)
 
         def stage(i):
@@ -137,19 +141,22 @@ class XceptionLite(nn.Module):
 
         x = stage(1)(self.widths[0], self.units_per_stage[0],
                      entry_stride=(1, 1), dense=self.dense_stages >= 1,
-                     dtype=self.dtype,
+                     quant=self.quant, dtype=self.dtype,
                      name="stage1")(x, train)              # s4
         c3 = stage(2)(self.widths[1], self.units_per_stage[1],
-                      dense=self.dense_stages >= 2,
+                      dense=self.dense_stages >= 2, quant=self.quant,
                       dtype=self.dtype, name="stage2")(x, train)  # s8
         c4 = stage(3)(self.widths[2], self.units_per_stage[2],
+                      quant=self.quant,
                       dtype=self.dtype, name="stage3")(c3, train)  # s16
         if self.dilate_c5:
             c5 = stage(4)(self.widths[3], self.units_per_stage[3],
                           entry_stride=(1, 1), dilation=(2, 2),
+                          quant=self.quant,
                           dtype=self.dtype, name="stage4")(c4, train)
         else:
             c5 = stage(4)(self.widths[3], self.units_per_stage[3],
+                          quant=self.quant,
                           dtype=self.dtype, name="stage4")(c4, train)
         return {"c3": c3, "c4": c4, "c5": c5}
 

@@ -1,0 +1,84 @@
+"""Post-training int8 quantization for the serving path (round 4).
+
+DESIGN §19 measured the opportunity: both judged backbones sit at 1.06-1.44x
+their bf16 HBM-bandwidth floors, v5e's MXU peak doubles in int8, and int8
+halves the bytes of exactly the bandwidth-bound stages — a bounded 1.15-1.3x
+end-to-end serving win, the only measured >1.15x lever left.  This module is
+the subsystem that cashes it in:
+
+  1. ``calibrate_backbone(cfg, variables, batches)`` runs the trained model
+     in "calibrate" mode (bf16 math, byte-identical detections) over a few
+     representative batches, recording each backbone conv input's absolute
+     max into a ``quant`` variables collection (one fp32 scalar per conv).
+  2. A model built with ``backbone_quant="int8"`` then runs every backbone
+     conv as int8 x int8 -> int32 on the MXU: per-output-channel symmetric
+     weight scales (computed from the fp32 params in-graph, so checkpoints
+     load unchanged and ``jax.export`` constant-folds the weights to int8
+     in the artifact) and per-tensor static activation scales from step 1.
+
+Heads, proposal machinery, and NMS stay bf16/fp32 — the Amdahl split from
+DESIGN §19 (they are MXU-efficient already; quantizing them buys nothing
+and risks box-regression accuracy).
+
+The reference has no quantization counterpart (SURVEY.md §5: serving is
+this rebuild's deliberate addition).
+
+Usage (also wired into ``cli/export.py --quant int8``):
+
+    from x_detector_tpu import quant
+    qv = quant.calibrate_backbone(cfg, variables, calib_batches)
+    qmodel = quant.build_detector(
+        dataclasses.replace(cfg.model, backbone_quant="int8"))
+    det = qmodel.apply({**variables, "quant": qv}, images, train=False)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+
+from x_detector_tpu.config import ExperimentConfig
+
+
+def build_detector(model_cfg, dtype: Any = jnp.bfloat16):
+    """Family-dispatch detector factory (the same switch trainer.py uses)."""
+    from x_detector_tpu.models.lighthead import LightHeadRCNN
+    from x_detector_tpu.models.ssd import SSDModel
+    cls = SSDModel if model_cfg.family == "ssd" else LightHeadRCNN
+    return cls(config=model_cfg, dtype=dtype)
+
+
+def calibrate_backbone(cfg: ExperimentConfig, variables: dict,
+                       batches: Iterable[jnp.ndarray],
+                       dtype: Any = jnp.bfloat16) -> dict:
+    """Collect static activation ranges for every backbone conv.
+
+    ``variables`` is the trained {"params", "batch_stats"} pytree;
+    ``batches`` yields eval-preprocessed image batches [B, S, S, 3].
+    Returns the ``quant`` collection (running max over all batches) to pass
+    alongside the params when applying an ``backbone_quant="int8"`` model.
+    """
+    mcfg = dataclasses.replace(cfg.model, backbone_quant="calibrate")
+    model = build_detector(mcfg, dtype)
+    base = {k: v for k, v in variables.items() if k != "quant"}
+
+    @jax.jit
+    def first(images):
+        _, mut = model.apply(base, images, train=False, mutable=["quant"])
+        return mut["quant"]
+
+    @jax.jit
+    def update(qv, images):
+        _, mut = model.apply(dict(base, quant=qv), images, train=False,
+                             mutable=["quant"])
+        return mut["quant"]
+
+    qv = None
+    for images in batches:
+        qv = first(images) if qv is None else update(qv, images)
+    if qv is None:
+        raise ValueError("calibrate_backbone needs at least one batch")
+    return jax.device_get(qv)
