@@ -40,7 +40,10 @@ from x_detector_tpu.utils.metrics_voc import VOCEvaluator
 
 
 def train_synthetic(cfg, steps: int):
-    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+    # cfg.train.seed varies init AND the data stream (the capstone A/B
+    # convention, DESIGN §18); seed 0 reproduces the original runs.
+    seed = cfg.train.seed
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(seed),
                                           dtype=jnp.bfloat16)
     step_fn = make_train_step(model, cfg)
     bsz = cfg.train.batch_size
@@ -53,7 +56,7 @@ def train_synthetic(cfg, steps: int):
         batch = preprocess_batch_for_train(ka, raw, cfg.data)
         return step_fn(state, batch, ks)
 
-    key0 = jax.random.PRNGKey(7)
+    key0 = jax.random.PRNGKey(7 + 1000 * seed)
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = fused(state, jax.random.fold_in(key0, i))
