@@ -119,3 +119,60 @@ def test_export_roundtrip_int8_backbone(tmp_path):
     np.testing.assert_allclose(rs, ls, atol=1e-5)
     assert (rc == lc).all() and (rv == lv).all()
     np.testing.assert_allclose(rb, lb, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_shared_weights_container_roundtrip(tmp_path):
+    """Round-4 serving refinement (DESIGN §16 note): the batch set stores
+    weights ONCE + one small graph per bucket; reload parity + size law."""
+    from jax import export as jexport
+
+    from test_train import get_batch, small_ssd_cfg
+    from x_detector_tpu import serving
+    from x_detector_tpu.cli.evaluate import build_eval_fn
+    from x_detector_tpu.train.trainer import create_model_and_state
+
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_fn = build_eval_fn(model, cfg)
+    size = cfg.model.image_size
+    vspec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+
+    graphs = {}
+    for b in (1, 2):
+        spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)
+        graphs[b] = jexport.export(
+            jax.jit(lambda v, x: eval_fn(v, x)))(vspec, spec).serialize()
+    d = str(tmp_path / "container")
+    serving.save_container(d, variables, graphs,
+                           meta={"image_size": size, "raw_rgb": False})
+
+    cont = serving.load_container(d)
+    assert cont.buckets == [1, 2]
+    images = np.asarray(get_batch(cfg)["image"], np.float32)
+    rb, rs, rc, rv = map(np.asarray, cont.detect(images))
+    lb, ls, lc, lv = map(np.asarray, eval_fn(variables, images))
+    np.testing.assert_allclose(rs, ls, atol=1e-5)
+    assert (rc == lc).all() and (rv == lv).all()
+    np.testing.assert_allclose(rb, lb, atol=1e-3)
+    # batch-1 bucket also routes
+    b1 = map(np.asarray, cont.detect(images[:1]))
+    np.testing.assert_allclose(next(iter(b1)), lb[:1], atol=1e-3)
+    with pytest.raises(ValueError, match="no graph for batch"):
+        cont.detect(np.zeros((3, size, size, 3), np.float32))
+
+    # Size law: a weights-as-arg graph strictly beats the baked artifact of
+    # the same bucket (which embeds the weights as constants), and the
+    # container stores the weights exactly once.
+    spec2 = jax.ShapeDtypeStruct((2, size, size, 3), jnp.float32)
+    baked = jexport.export(
+        jax.jit(lambda x: eval_fn(variables, x)))(spec2).serialize()
+    assert len(graphs[2]) < len(baked)
+    import os
+    wbytes = os.path.getsize(os.path.join(d, "weights.msgpack"))
+    nparams = sum(np.asarray(a).nbytes
+                  for a in jax.tree_util.tree_leaves(variables))
+    assert wbytes < nparams * 1.2 + 1e5     # once, with msgpack overhead

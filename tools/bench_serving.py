@@ -11,7 +11,20 @@ side) at each batch shape and measures, per shape:
     the request-facing time-to-first-detection. Over the axon tunnel this
     includes one ~27 ms RTT, which a colocated server would not pay.
 
-  python tools/bench_serving.py [--batches 1,4,8,16]
+``--container`` additionally exports the round-4 shared-weights container
+(weights stored once + one small graph per bucket, serving.save_container)
+and benches the reloaded DetectorContainer per bucket, with the artifact
+sizes both ways — so the 4x-weights saving and its (expected-zero) runtime
+cost are both on the record.
+
+``--quant int8`` benches the PTQ backbone variant (random-init weights
+calibrated on random images: a THROUGHPUT measurement only; accuracy A/B
+lives in tools/quant_ab.py).
+
+Run WITHOUT setting PYTHONPATH (this script inserts its own sys.path):
+
+  python tools/bench_serving.py [--batches 1,4,8,16] [--container]
+      [--quant int8]
 """
 import argparse
 import json
@@ -37,6 +50,9 @@ def main():
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batches", default="1,4,8,16")
+    p.add_argument("--container", action="store_true",
+                   help="also bench the shared-weights container path")
+    p.add_argument("--quant", default="none", choices=("none", "int8"))
     args = p.parse_args()
     batch_set = [int(b) for b in args.batches.split(",")]
 
@@ -46,6 +62,22 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
 
+    if args.quant == "int8":
+        import dataclasses
+
+        from x_detector_tpu import quant as quant_lib
+        calib = [jax.random.uniform(jax.random.PRNGKey(50 + i),
+                                    (max(batch_set), size, size, 3),
+                                    jnp.float32, maxval=255.0)
+                 for i in range(2)]
+        qv = quant_lib.calibrate_backbone(cfg, variables, calib)
+        variables = dict(variables, quant=qv)
+        mcfg = dataclasses.replace(cfg.model, backbone_quant="int8")
+        model = quant_lib.build_detector(mcfg, jnp.bfloat16)
+        cfg = dataclasses.replace(cfg, model=mcfg)
+        print("int8 backbone (throughput-only: random weights/calib)",
+              flush=True)
+
     def serving_fn(images):
         det = lighthead_postprocess(
             model.apply(variables, images, train=False), cfg.model)
@@ -54,6 +86,7 @@ def main():
     from jax import export as jexport
     outdir = tempfile.mkdtemp()
     arts = {}
+    baked_sizes = {}
     for b in batch_set:
         spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)
         blob = jexport.export(jax.jit(serving_fn))(spec).serialize()
@@ -61,7 +94,33 @@ def main():
         with open(path, "wb") as f:
             f.write(blob)
         arts[b] = serving.load(path)
+        baked_sizes[b] = len(blob)
         print(f"exported batch {b}: {len(blob)/1e6:.1f} MB", flush=True)
+
+    cont = None
+    if args.container:
+        def serving_fn_v(v, images):
+            det = lighthead_postprocess(
+                model.apply(v, images, train=False), cfg.model)
+            return det.boxes, det.scores, det.classes, det.valid
+        vspec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        graphs = {}
+        for b in batch_set:
+            spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)
+            graphs[b] = jexport.export(
+                jax.jit(serving_fn_v))(vspec, spec).serialize()
+        cdir = os.path.join(outdir, "container")
+        serving.save_container(cdir, variables, graphs,
+                               meta={"image_size": size})
+        cont = serving.load_container(cdir)
+        wsize = os.path.getsize(os.path.join(cdir, "weights.msgpack"))
+        gsize = sum(len(g) for g in graphs.values())
+        print(json.dumps({
+            "container_weights_mb": round(wsize / 1e6, 1),
+            "container_graphs_mb": round(gsize / 1e6, 1),
+            "baked_artifacts_mb": round(sum(baked_sizes.values()) / 1e6, 1),
+        }), flush=True)
 
     def bench_throughput(call, b):
         batches = [jax.random.uniform(jax.random.PRNGKey(i),
@@ -94,11 +153,16 @@ def main():
     for b in batch_set:
         ips = bench_throughput(arts[b].call, b)
         lat = bench_latency(arts[b].call, b)
-        print(json.dumps({
+        row = {
             "batch": b, "images_per_sec_per_chip": round(ips, 2),
             "single_call_latency_ms": round(lat, 2),
             "vs_live": round(ips / live, 3) if b == ref_b else None,
-        }), flush=True)
+        }
+        if cont is not None:
+            cips = bench_throughput(lambda x, _b=b: cont.detect(x), b)
+            row["container_images_per_sec_per_chip"] = round(cips, 2)
+            row["container_vs_baked"] = round(cips / ips, 3)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,13 @@ def main(argv=None):
                    help="calibration batches for --quant int8 (synthetic "
                         "eval-preprocessed images; swap in real data by "
                         "calling quant.calibrate_backbone directly)")
+    p.add_argument("--container", action="store_true",
+                   help="write a shared-weights batch-set container to "
+                        "--output (a directory): weights stored ONCE + one "
+                        "small graph per --batches bucket, reloadable via "
+                        "serving.load_container")
+    p.add_argument("--batches", default="1,4,8,16",
+                   help="bucket batch sizes for --container")
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
@@ -95,45 +102,79 @@ def main(argv=None):
         print(f"calibrated int8 backbone on {args.calib_batches} batches")
 
     eval_fn = build_eval_fn(model, cfg)
-    spec = jax.ShapeDtypeStruct((args.batch, size, size, 3), jnp.float32)
     from jax import export as jexport
 
-    if args.raw_rgb and cfg.data.letterbox:
-        # Letterbox-trained model: the client letterboxes the raw image onto
-        # the square canvas (uniform scale, top-left placement) and passes
-        # box_scale=[fy, fx] (content fraction per image); the artifact
-        # whitens, detects, and unscales boxes back to original-image
-        # normalized coordinates — the geometry cannot silently drift.
-        def serving_fn(images, box_scale):
-            whitened = jax.vmap(
-                lambda im: preprocess_for_eval(im, cfg.data))(images)
-            boxes, scores, classes, valid = eval_fn(variables, whitened)
-            s = box_scale[:, None, [0, 1, 0, 1]]            # [B, 1, 4]
-            boxes = jnp.clip(boxes / jnp.maximum(s, 1e-6), 0.0, 1.0)
-            return boxes, scores, classes, valid
-        scale_spec = jax.ShapeDtypeStruct((args.batch, 2), jnp.float32)
-        exported = jexport.export(jax.jit(serving_fn))(spec, scale_spec)
-        input_desc = (f"inputs letterboxed [{args.batch}, {size}, {size}, 3] "
-                      f"float32 + box_scale [{args.batch}, 2]")
-    elif args.raw_rgb:
-        def serving_fn(images):
-            whitened = jax.vmap(
-                lambda im: preprocess_for_eval(im, cfg.data))(images)
-            return eval_fn(variables, whitened)
-        exported = jexport.export(jax.jit(serving_fn))(spec)
-        input_desc = f"input [{args.batch}, {size}, {size}, 3] float32"
-    else:
-        def serving_fn(images):
-            return eval_fn(variables, images)
-        exported = jexport.export(jax.jit(serving_fn))(spec)
-        input_desc = (f"input [{args.batch}, {size}, {size}, 3] float32 "
-                      "(pre-whitened)")
+    def export_one(batch: int, weights_as_arg: bool):
+        """Serialize one bucket.  ``weights_as_arg=True`` (container mode)
+        makes the graph take the variables pytree as its first argument so
+        the weights are stored ONCE per container, not once per bucket."""
+        spec = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+        if args.raw_rgb and cfg.data.letterbox:
+            # Letterbox-trained model: the client letterboxes the raw image
+            # onto the square canvas (uniform scale, top-left placement) and
+            # passes box_scale=[fy, fx] (content fraction per image); the
+            # artifact whitens, detects, and unscales boxes back to
+            # original-image normalized coordinates — the geometry cannot
+            # silently drift.
+            def serving_fn(v, images, box_scale):
+                whitened = jax.vmap(
+                    lambda im: preprocess_for_eval(im, cfg.data))(images)
+                boxes, scores, classes, valid = eval_fn(v, whitened)
+                s = box_scale[:, None, [0, 1, 0, 1]]        # [B, 1, 4]
+                boxes = jnp.clip(boxes / jnp.maximum(s, 1e-6), 0.0, 1.0)
+                return boxes, scores, classes, valid
+            extra = (jax.ShapeDtypeStruct((batch, 2), jnp.float32),)
+            input_desc = (f"inputs letterboxed [{batch}, {size}, {size}, 3] "
+                          f"float32 + box_scale [{batch}, 2]")
+        elif args.raw_rgb:
+            def serving_fn(v, images):
+                whitened = jax.vmap(
+                    lambda im: preprocess_for_eval(im, cfg.data))(images)
+                return eval_fn(v, whitened)
+            extra = ()
+            input_desc = f"input [{batch}, {size}, {size}, 3] float32"
+        else:
+            def serving_fn(v, images):
+                return eval_fn(v, images)
+            extra = ()
+            input_desc = (f"input [{batch}, {size}, {size}, 3] float32 "
+                          "(pre-whitened)")
+        if weights_as_arg:
+            vspec = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+            exported = jexport.export(jax.jit(serving_fn))(vspec, spec,
+                                                           *extra)
+            input_desc = "weights pytree + " + input_desc
+        else:
+            fn = lambda *inputs: serving_fn(variables, *inputs)
+            exported = jexport.export(jax.jit(fn))(spec, *extra)
+        return exported.serialize(), input_desc
 
-    blob = exported.serialize()
-    with open(args.output, "wb") as f:
-        f.write(blob)
-    print(f"wrote {len(blob) / 1e6:.1f} MB -> {args.output} "
-          f"({input_desc}; outputs boxes/scores/classes/valid)")
+    if args.container:
+        from x_detector_tpu import serving
+        batches = [int(b) for b in args.batches.split(",")]
+        graphs, desc = {}, ""
+        for b in batches:
+            graphs[b], desc = export_one(b, weights_as_arg=True)
+        serving.save_container(
+            args.output, variables, graphs,
+            meta={"preset": cfg.model.name, "image_size": size,
+                  "letterbox": bool(args.raw_rgb and cfg.data.letterbox),
+                  "raw_rgb": bool(args.raw_rgb), "quant": args.quant})
+        import numpy as _np
+        wsize = sum(_np.asarray(a).nbytes
+                    for a in jax.tree_util.tree_leaves(variables))
+        gsize = sum(len(g) for g in graphs.values())
+        print(f"wrote container -> {args.output}: weights "
+              f"{wsize / 1e6:.1f} MB (stored once) + {len(graphs)} graphs "
+              f"totalling {gsize / 1e6:.1f} MB ({desc}; reload via "
+              "serving.load_container)")
+    else:
+        blob, input_desc = export_one(args.batch, weights_as_arg=False)
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        print(f"wrote {len(blob) / 1e6:.1f} MB -> {args.output} "
+              f"({input_desc}; outputs boxes/scores/classes/valid)")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ coordinates.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -30,6 +32,73 @@ def load(path: str):
     from jax import export as jexport
     with open(path, "rb") as f:
         return jexport.deserialize(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Shared-weights container (round 4, VERDICT item 9)
+#
+# A serving batch set {1, 4, 8, 16} exported as closed-over-constant
+# artifacts stores the weights once PER BUCKET (4 x 44.1 MB for config 3,
+# DESIGN §16).  The container layout instead exports each bucket's graph
+# with the weights pytree as an ARGUMENT, and stores the weights once:
+#
+#   container/
+#     meta.json            {"buckets": [...], "image_size": N, ...}
+#     weights.msgpack      flax msgpack of the variables pytree (fp32)
+#     graph-b{B}.stablehlo jax.export artifact taking (weights, images[,
+#                          box_scale]) — a few hundred KB each
+# ---------------------------------------------------------------------------
+
+def save_container(directory: str, variables, graphs: dict,
+                   meta: dict) -> None:
+    """Write the shared-weights layout.  ``graphs`` maps batch -> serialized
+    jax.export bytes (each graph takes the weights pytree as its first
+    argument); ``variables`` is the pytree those graphs expect."""
+    import jax
+    from flax import serialization
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "weights.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, variables)))
+    for batch, blob in graphs.items():
+        with open(os.path.join(directory, f"graph-b{batch}.stablehlo"),
+                  "wb") as f:
+            f.write(blob)
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(dict(meta, buckets=sorted(graphs)), f)
+
+
+class DetectorContainer:
+    """Reloaded shared-weights batch set: one weights blob, one graph per
+    bucket; ``detect(images[, box_scale])`` routes to the smallest fitting
+    bucket (rows are NOT padded here — pass bucket-shaped inputs, e.g. from
+    ``bucketed_letterbox_batch``)."""
+
+    def __init__(self, directory: str):
+        from flax import serialization
+        from jax import export as jexport
+        with open(os.path.join(directory, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.buckets = self.meta["buckets"]
+        with open(os.path.join(directory, "weights.msgpack"), "rb") as f:
+            self.weights = serialization.msgpack_restore(f.read())
+        self._fns = {}
+        for b in self.buckets:
+            with open(os.path.join(directory,
+                                   f"graph-b{b}.stablehlo"), "rb") as f:
+                self._fns[b] = jexport.deserialize(f.read())
+
+    def detect(self, images, *extra):
+        b = images.shape[0]
+        if b not in self._fns:
+            raise ValueError(f"no graph for batch {b}; buckets "
+                             f"{self.buckets} (pad via "
+                             "bucketed_letterbox_batch first)")
+        return self._fns[b].call(self.weights, images, *extra)
+
+
+def load_container(directory: str) -> DetectorContainer:
+    return DetectorContainer(directory)
 
 
 def letterbox_image(image: np.ndarray, size: int) -> Tuple[np.ndarray,
