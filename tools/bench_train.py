@@ -45,6 +45,10 @@ def main():
                    help="capture a jax.profiler trace of 3 steps to this dir")
     p.add_argument("--no-aug", action="store_true",
                    help="skip device augmentation (isolate the train step)")
+    p.add_argument("--act8", action="store_true",
+                   help="backbone_quant='act8': save conv-backward "
+                        "activations as int8 (halves saved-activation HBM "
+                        "bytes; exact dL/dx, quantized filter grad)")
     p.add_argument("--remat", type=int, default=0,
                    help="backbone_remat_stages override (recompute-for-"
                         "bandwidth A/B, DESIGN §17)")
@@ -57,8 +61,9 @@ def main():
     cfg = lighthead_xception(image_size=args.image_size)
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model,
-                                  backbone_remat_stages=args.remat),
+        model=dataclasses.replace(
+            cfg.model, backbone_remat_stages=args.remat,
+            backbone_quant="act8" if args.act8 else None),
         train=dataclasses.replace(cfg.train, batch_size=args.batch,
                                   warmup_steps=0))
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),

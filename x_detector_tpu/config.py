@@ -119,12 +119,13 @@ class ModelConfig:
     # bandwidth-bound backbone backward (DESIGN §11/§17). Training-only
     # effect; inference is untouched.
     backbone_remat_stages: int = 0
-    # Backbone conv precision for SERVING (models/layers.py QuantConv):
+    # Backbone conv precision (models/layers.py QuantConv):
     # None = bf16 production path; "calibrate" = bf16 + record activation
     # ranges into the "quant" collection; "int8" = per-channel int8 weights
     # + calibrated per-tensor int8 activations (heads/NMS stay bf16/fp32 —
-    # the Amdahl split DESIGN §19 measured). Inference-only knob; training
-    # always runs bf16.
+    # the Amdahl split DESIGN §19 measured); "act8" = TRAINING probe: bf16
+    # forward, conv-backward saved activations stored int8 (exact dL/dx,
+    # quantized filter grad).
     backbone_quant: Optional[str] = None
     num_classes: int = NUM_VOC_CLASSES
     image_size: int = 800                 # square static input

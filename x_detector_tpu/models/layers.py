@@ -36,6 +36,43 @@ from jax import lax
 Dtype = Any
 
 
+def _conv_act8(x, kernel, *, strides, padding, rhs_dilation,
+               dimension_numbers, feature_group_count):
+    """bf16 conv whose BACKWARD reads an int8 copy of the activation.
+
+    conv(x, k) is bilinear: dL/dx = f(g, k) (independent of x, exact here)
+    and dL/dk = f(g, x) (reads the saved activation).  Saving x as int8 +
+    one fp32 scale halves the backward's saved-activation HBM traffic; the
+    only approximation is quantization noise in the filter gradient.
+    """
+    conv = lambda x_, k_: lax.conv_general_dilated(
+        x_, k_, strides, padding, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count)
+
+    @jax.custom_vjp
+    def conv8(x_, k_):
+        return conv(x_, k_)
+
+    xdtype = x.dtype
+
+    def conv8_fwd(x_, k_):
+        y = conv(x_, k_)
+        s = jnp.max(jnp.abs(x_.astype(jnp.float32))) / 127.0 + 1e-12
+        xq = jnp.clip(jnp.round(x_.astype(jnp.float32) / s),
+                      -127, 127).astype(jnp.int8)
+        return y, (xq, s, k_)
+
+    def conv8_bwd(res, g):
+        xq, s, k_ = res
+        xa = (xq.astype(jnp.float32) * s).astype(xdtype)
+        _, vjp = jax.vjp(conv, xa, k_)
+        return vjp(g)
+
+    conv8.defvjp(conv8_fwd, conv8_bwd)
+    return conv8(x, kernel)
+
+
 class QuantConv(nn.Module):
     """Drop-in conv for ConvBN/SeparableConvBN's quantized modes.
 
@@ -52,7 +89,7 @@ class QuantConv(nn.Module):
     padding: Any = "SAME"
     feature_group_count: int = 1
     use_bias: bool = False
-    mode: str = "calibrate"               # "calibrate" | "int8"
+    mode: str = "calibrate"               # "calibrate" | "int8" | "act8"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -62,10 +99,28 @@ class QuantConv(nn.Module):
                   self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             kshape, jnp.float32)
-        amax = self.variable("quant", "act_amax",
-                             lambda: jnp.zeros((), jnp.float32))
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))
+        if self.mode == "act8":
+            # TRAINING probe (DESIGN §11/§17 follow-up): forward math is
+            # the plain bf16 conv, but the activation saved for backward is
+            # a dynamically-scaled int8 copy — conv is bilinear, so dL/dx
+            # needs only (g, kernel) and stays EXACT; dL/dkernel reads the
+            # int8 activation (quantization noise in the filter grad only).
+            # Halves the saved-activation HBM bytes of the bandwidth-bound
+            # backbone backward without remat's recompute cost.
+            y = _conv_act8(x.astype(self.dtype), kernel.astype(self.dtype),
+                           strides=self.strides, padding=self.padding,
+                           rhs_dilation=self.kernel_dilation,
+                           dimension_numbers=dn,
+                           feature_group_count=self.feature_group_count)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                y = y + b.astype(y.dtype)
+            return y
+        amax = self.variable("quant", "act_amax",
+                             lambda: jnp.zeros((), jnp.float32))
         if self.mode == "calibrate":
             if not self.is_initializing():
                 amax.value = jnp.maximum(
