@@ -22,6 +22,17 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The sitecustomize hook imports jax at INTERPRETER startup — before this
+# file runs — so the JAX_* cache env vars above were read too late and the
+# persistent compile cache was silently disabled for every past suite run
+# (round-4 finding: "Not writing persistent cache entry ... cache is
+# disabled/not initialized" in the debug log; heavy tests recompiled 13 s
+# graphs every run).  config.update is what actually takes effect here,
+# exactly like the platform pin above.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -15,13 +15,15 @@ import sys
 BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 
 
-# Deadlines must exceed bare interpreter startup on this loaded 1-core host
-# (~2.6 s measured: sitecustomize + stdlib imports before the child's canned
-# print) while staying small enough that wedge-kill paths run in seconds.
-def _run_bench(simulate, attempts=3, preflight_deadline=10.0,
-               measure_deadline=10.0, timeout=240):
+# Blanking PALLAS_AXON_POOL_IPS makes the axon sitecustomize a no-op, which
+# drops bare interpreter startup from ~2.6 s (it imports jax to register the
+# PJRT plugin) to ~0.04 s — simulated children never touch jax, so the
+# deadlines can be tight and the wedge-kill paths run in seconds.
+def _run_bench(simulate, attempts=3, preflight_deadline=3.0,
+               measure_deadline=3.0, timeout=120):
     env = dict(
         os.environ,
+        PALLAS_AXON_POOL_IPS="",
         XDET_BENCH_SIMULATE=simulate,
         XDET_BENCH_ATTEMPTS=str(attempts),
         XDET_BENCH_PREFLIGHT_DEADLINE=str(preflight_deadline),

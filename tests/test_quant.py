@@ -15,6 +15,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from x_detector_tpu import quant
 from x_detector_tpu.models.layers import ConvBN, SeparableConvBN
@@ -80,11 +81,12 @@ def test_tiny_backbone_int8_correlates_with_bf16():
               dtype=jnp.float32)
     bb = XceptionLite(**kw)
     variables = bb.init(jax.random.PRNGKey(0), x)
-    ref = bb.apply(variables, x)
+    ref = jax.jit(bb.apply)(variables, x)
     cbb = XceptionLite(quant="calibrate", **kw)
-    _, mut = cbb.apply(variables, x, mutable=["quant"])
+    _, mut = jax.jit(lambda v, xx: cbb.apply(v, xx, mutable=["quant"]))(
+        variables, x)
     ibb = XceptionLite(quant="int8", **kw)
-    got = ibb.apply({**variables, **mut}, x)
+    got = jax.jit(ibb.apply)({**variables, **mut}, x)
     for k in ("c3", "c4", "c5"):
         a = np.asarray(ref[k], np.float32).ravel()
         b = np.asarray(got[k], np.float32).ravel()
@@ -95,6 +97,7 @@ def test_tiny_backbone_int8_correlates_with_bf16():
         assert cos > 0.98, (k, cos)
 
 
+@pytest.mark.slow
 def test_full_ssd_pipeline_with_int8_backbone():
     from test_train import get_batch, small_ssd_cfg
     from x_detector_tpu.cli.evaluate import build_eval_fn
@@ -182,6 +185,7 @@ def test_act8_exact_dx_quantized_dk():
             assert 0.0 < rms < 0.02, (path, rms)
 
 
+@pytest.mark.slow
 def test_act8_train_step_runs():
     # the full SSD train step compiles and runs with backbone_quant="act8"
     # and produces finite losses (no "quant" collection is created)

@@ -186,7 +186,12 @@ def create_model_and_state(cfg: ExperimentConfig, rng: jax.Array,
     else:
         raise ValueError(f"unknown family {cfg.model.family!r}")
     dummy = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 3))
-    variables = model.init(rng, dummy, train=False)
+    # jit the init: eager flax init dispatches every param op individually
+    # (measured 26-32 s for a TINY test model on the 1-core CI host —
+    # dominated the suite), while the jitted init is one XLA program that
+    # also lands in the persistent compile cache across processes.
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, dummy, train=False)
     tx = make_optimizer(cfg.train)
     state = TrainState.create(params=variables["params"],
                               batch_stats=variables.get("batch_stats", {}),
