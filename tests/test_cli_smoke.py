@@ -1,0 +1,46 @@
+"""End-to-end CLI-surface smoke: train -> export --container --quant int8
+-> reload via serving.load_container -> detect.
+
+The container/int8 plumbing in cli/export.py was otherwise exercised only
+at the library level (tests/test_export.py, tests/test_quant.py); this
+drives the actual user-facing command path, with the round-4
+--backbone-stages/--backbone-widths capacity overrides keeping it CI-sized.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_then_container_export_cli(tmp_path, monkeypatch):
+    from x_detector_tpu import serving
+    from x_detector_tpu.cli import export as export_cli
+    from x_detector_tpu.cli import train as train_cli
+
+    model_dir = str(tmp_path / "model")
+    common = [
+        "--preset", "ssd_resnet50", "--image-size", "64",
+        "--backbone-stages", "1,1,1,1", "--backbone-widths", "16,32,48,64",
+        "--model-dir", model_dir, "--dtype", "float32",
+    ]
+    train_cli.main(common + ["--steps", "3", "--batch-size", "2",
+                             "--checkpoint-every", "3", "--log-every", "1"])
+
+    out = str(tmp_path / "container")
+    export_cli.main(common + ["--output", out, "--container",
+                              "--batches", "1,2", "--quant", "int8",
+                              "--calib-batches", "2"])
+
+    cont = serving.load_container(out)
+    assert cont.buckets == [1, 2]
+    assert cont.meta["quant"] == "int8"
+    images = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32, maxval=255.0))
+    boxes, scores, classes, valid = map(np.asarray, cont.detect(images))
+    assert boxes.shape[0] == 2 and np.isfinite(boxes).all()
+    # bucket routing: the batch-1 graph agrees with the batch-2 graph on
+    # the same image (everything downstream of the backbone is per-image)
+    b1 = np.asarray(cont.detect(images[:1])[0])
+    np.testing.assert_allclose(b1, boxes[:1], atol=1e-4)

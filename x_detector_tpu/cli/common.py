@@ -33,6 +33,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="evaluate/serve the EMA shadow weights (default: "
                         "auto — use EMA whenever the checkpoint carries one; "
                         "--no-use-ema forces the raw params)")
+    p.add_argument("--backbone-stages", default=None,
+                   help="comma list overriding backbone depth (ResNet stage "
+                        "sizes / Xception units per stage), e.g. 1,1,1,1 — "
+                        "capacity sweeps and CI-sized smoke runs")
+    p.add_argument("--backbone-widths", default=None,
+                   help="comma list overriding backbone channel widths, "
+                        "e.g. 16,32,48,64")
 
 
 def eval_variables(state, use_ema=None):
@@ -66,6 +73,16 @@ def resolve_config(args) -> ExperimentConfig:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data,
                                           letterbox=args.letterbox))
+    mcfg = {}
+    if getattr(args, "backbone_stages", None):
+        mcfg["backbone_stages"] = tuple(
+            int(v) for v in args.backbone_stages.split(","))
+    if getattr(args, "backbone_widths", None):
+        mcfg["backbone_widths"] = tuple(
+            int(v) for v in args.backbone_widths.split(","))
+    if mcfg:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **mcfg))
     return cfg
 
 
