@@ -77,6 +77,11 @@ def main():
     p.add_argument("--calib-batches", type=int, default=8)
     p.add_argument("--time-iters", type=int, default=8)
     p.add_argument("--passes", type=int, default=3)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny-capacity 64px configs (the test suite's "
+                        "shapes): validates the full A/B path end-to-end "
+                        "on CPU in minutes before spending TPU time; the "
+                        "numbers it prints are NOT the judged surfaces")
     args = p.parse_args()
 
     fams = (["lighthead", "ssd"] if args.family == "both"
@@ -98,6 +103,27 @@ def main():
                     cfg.train, learning_rate=2e-3, warmup_steps=200,
                     lr_boundaries=(args.steps * 2 // 3, args.steps * 7 // 8),
                     lr_decays=(1.0, 0.3, 0.1)))
+        if args.smoke:
+            from x_detector_tpu.config import (DataConfig, NMSConfig,
+                                               ProposalConfig)
+            tiny = dict(image_size=64,
+                        backbone_stages=(1, 1, 1, 1),
+                        backbone_widths=(16, 32, 48, 64))
+            if fam == "lighthead":
+                tiny.update(
+                    large_sep_mid=16, head_dim=64,
+                    backbone_widths=(32, 64, 96, 128),
+                    proposals=ProposalConfig(
+                        pre_nms_topk=128, post_nms_topk=32,
+                        pre_nms_topk_eval=128, post_nms_topk_eval=32,
+                        min_size=2.0),
+                    nms=NMSConfig(max_output=20))
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(cfg.model, **tiny),
+                data=DataConfig(image_size=64, max_gt_boxes=8),
+                train=dataclasses.replace(cfg.train, batch_size=2,
+                                          warmup_steps=0))
         size = cfg.model.image_size
         bsz = cfg.train.batch_size
         for seed in seeds:
