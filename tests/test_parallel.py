@@ -146,3 +146,30 @@ def test_graft_dryrun_multichip_is_environment_proof():
         cwd=repo, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ok, loss=" in proc.stdout
+
+
+def test_dp_eval_matches_single_device():
+    """Data-parallel inference (batch sharded over the 8-device mesh,
+    params replicated) returns the same detections as the single-device
+    eval fn — detection is per-image, so partitioning the batch must not
+    change any output."""
+    from x_detector_tpu.cli.evaluate import build_eval_fn
+
+    cfg = small_ssd_cfg()
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    images = jax.random.uniform(jax.random.PRNGKey(5), (8, 64, 64, 3),
+                                jnp.float32, maxval=1.0)
+
+    single = build_eval_fn(model, cfg)
+    m = mesh_lib.make_mesh(8)
+    dp = build_eval_fn(model, cfg, mesh=m)
+
+    ref = [np.asarray(x) for x in single(variables, images)]
+    got = [np.asarray(x) for x in
+           dp(mesh_lib.replicate_state(m, variables),
+              mesh_lib.shard_batch(m, images))]
+    np.testing.assert_array_equal(ref[3], got[3])        # valid mask
+    for r, g, name in zip(ref, got, ("boxes", "scores", "classes")):
+        np.testing.assert_allclose(r, g, atol=1e-4, err_msg=name)

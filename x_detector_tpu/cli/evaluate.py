@@ -26,12 +26,18 @@ from x_detector_tpu.train.trainer import create_model_and_state
 from x_detector_tpu.utils.metrics_voc import VOCEvaluator
 
 
-def build_eval_fn(model, cfg):
-    """jitted images -> (boxes, scores, classes, valid)."""
+def build_eval_fn(model, cfg, mesh=None):
+    """jitted images -> (boxes, scores, classes, valid).
+
+    With ``mesh`` (a 1-D data mesh from ``parallel.mesh.make_mesh``), the
+    batch axis is sharded over the mesh's devices and parameters are
+    replicated — data-parallel inference.  Detection is per-image after the
+    backbone, so XLA partitions the whole pipeline without collectives;
+    the batch size must be divisible by the mesh size.
+    """
     if cfg.model.family == "ssd":
         anchors = jnp.asarray(build_ssd_anchors(cfg.model))
 
-        @jax.jit
         def fn(variables, images):
             cls, loc = model.apply(variables, images, train=False)
             det = postprocess_detections(
@@ -44,23 +50,32 @@ def build_eval_fn(model, cfg):
                 approx_prefilter=cfg.model.nms.approx_prefilter)
             return det.boxes, det.scores, det.classes, det.valid
     else:
-        @jax.jit
         def fn(variables, images):
             out = model.apply(variables, images, train=False)
             det = lighthead_postprocess(out, cfg.model)
             return det.boxes, det.scores, det.classes, det.valid
-    return fn
+    if mesh is None:
+        return jax.jit(fn)
+    from x_detector_tpu.parallel import mesh as mesh_lib
+    shard = mesh_lib.batch_sharded(mesh)
+    return jax.jit(fn, in_shardings=(mesh_lib.replicated(mesh), shard),
+                   out_shardings=shard)
 
 
 def run_eval(model, variables, cfg, batch_iter, num_batches: int,
-             eval_fn=None, use_07_metric: bool = True) -> dict:
+             eval_fn=None, use_07_metric: bool = True, mesh=None) -> dict:
     """Evaluate mAP over up to ``num_batches`` from ``batch_iter``.
 
     Reusable core shared by the eval CLI and the train loop's periodic
-    evaluation.  Returns the VOCEvaluator result dict.
+    evaluation.  Returns the VOCEvaluator result dict.  With ``mesh``,
+    batches are sharded over the mesh and inference runs data-parallel
+    (see :func:`build_eval_fn`).
     """
     if eval_fn is None:
-        eval_fn = build_eval_fn(model, cfg)
+        eval_fn = build_eval_fn(model, cfg, mesh)
+    if mesh is not None:
+        from x_detector_tpu.parallel import mesh as mesh_lib
+        variables = mesh_lib.replicate_state(mesh, variables)
     preprocess = jax.jit(jax.vmap(
         lambda im: preprocess_for_eval(im, cfg.data)))
     ev = VOCEvaluator(num_classes=cfg.model.num_classes - 1,
@@ -70,7 +85,13 @@ def run_eval(model, variables, cfg, batch_iter, num_batches: int,
             raw = next(batch_iter)
         except StopIteration:
             break
-        images = preprocess(jnp.asarray(raw["image"]))
+        images = jnp.asarray(raw["image"])
+        if mesh is not None:
+            assert images.shape[0] % mesh.devices.size == 0, (
+                f"eval batch size {images.shape[0]} must be divisible by "
+                f"the mesh size {mesh.devices.size}")
+            images = mesh_lib.shard_batch(mesh, images)
+        images = preprocess(images)
         boxes, scores, classes, valid = map(
             np.asarray, eval_fn(variables, images))
         for i in range(images.shape[0]):
@@ -100,6 +121,9 @@ def main(argv=None):
                    help="11-point VOC07 AP (--no-use-07-metric selects continuous AP)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="data-parallel eval over an N-device mesh "
+                        "(0 = single device); batch size must divide by N")
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
@@ -117,9 +141,14 @@ def main(argv=None):
     if variables["params"] is state.ema_params:
         print("evaluating EMA shadow weights")
 
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from x_detector_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(args.num_devices)
+
     it = common.batch_iterator(args, cfg, training=False)
     res = run_eval(model, variables, cfg, it, args.num_batches,
-                   use_07_metric=args.use_07_metric)
+                   use_07_metric=args.use_07_metric, mesh=mesh)
     print(f"mAP: {res['mAP']:.4f}")
     for cls, ap in sorted(res["per_class_ap"].items()):
         print(f"  class {cls:2d}: AP {ap:.4f}")
