@@ -148,6 +148,7 @@ def test_graft_dryrun_multichip_is_environment_proof():
     assert "ok, loss=" in proc.stdout
 
 
+@pytest.mark.slow  # compiles two full eval pipelines on the 1-core host
 def test_dp_eval_matches_single_device():
     """Data-parallel inference (batch sharded over the 8-device mesh,
     params replicated) returns the same detections as the single-device
