@@ -25,8 +25,12 @@ def _compute_lighthead_outputs():
     cfg = tiny_config("xception_lite")
     model = LightHeadRCNN(config=cfg, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(42), (1, 64, 64, 3)) * 0.3
-    variables = model.init(jax.random.PRNGKey(7), x, train=False)
-    out = model.apply(variables, x, train=False)
+    # jitted (cached) rather than eager; the stored goldens were generated
+    # eagerly, but ATOL/RTOL absorb jit-vs-eager fp differences (verified:
+    # comparison passes against the committed npz).
+    variables = jax.jit(lambda k: model.init(k, x, train=False))(
+        jax.random.PRNGKey(7))
+    out = jax.jit(lambda v: model.apply(v, x, train=False))(variables)
     return {k: np.asarray(v) for k, v in out.items()}
 
 

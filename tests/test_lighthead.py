@@ -31,8 +31,11 @@ def lighthead_outputs():
     cfg = tiny_config()
     model = LightHeadRCNN(config=cfg, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.1
-    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(vars_, x, train=False)
+    # jit both: eager init/apply of the full-depth backbone cost ~25 s on
+    # the 1-core host; jitted they are one cached XLA program each.
+    vars_ = jax.jit(lambda k: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda v: model.apply(v, x, train=False))(vars_)
     return cfg, out
 
 

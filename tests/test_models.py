@@ -42,8 +42,10 @@ def test_ssd_forward_and_postprocess():
     cfg = ssd_resnet50(image_size=64).model
     model = SSDModel(config=cfg, dtype=jnp.float32)
     x = jnp.zeros((2, 64, 64, 3))
-    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
-    cls_logits, box_codes = model.apply(vars_, x, train=False)
+    vars_ = jax.jit(lambda k: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0))
+    cls_logits, box_codes = jax.jit(
+        lambda v: model.apply(v, x, train=False))(vars_)
     anchors = build_ssd_anchors(cfg)
     n = anchors.shape[0]
     assert cls_logits.shape == (2, n, cfg.num_classes)
@@ -62,9 +64,11 @@ def test_ssd_batchnorm_mutable_train_mode():
     cfg = ssd_resnet50(image_size=64).model
     model = SSDModel(config=cfg, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
-    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
-    (cls_logits, _), new_state = model.apply(
-        vars_, x, train=True, mutable=["batch_stats"])
+    vars_ = jax.jit(lambda k: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0))
+    (cls_logits, _), new_state = jax.jit(
+        lambda v: model.apply(v, x, train=True,
+                              mutable=["batch_stats"]))(vars_)
     assert "batch_stats" in new_state
     assert np.isfinite(np.asarray(cls_logits)).all()
 
@@ -91,7 +95,11 @@ def test_xdet_trains():
     from test_train import get_batch
     base = xdet_xception(image_size=64)
     cfg = dataclasses.replace(
-        base, data=DataConfig(image_size=64, max_gt_boxes=8),
+        base,
+        model=dataclasses.replace(base.model,
+                                  backbone_stages=(1, 1, 1, 1),
+                                  backbone_widths=(32, 64, 96, 128)),
+        data=DataConfig(image_size=64, max_gt_boxes=8),
         train=dataclasses.replace(base.train, batch_size=2,
                                   weight_decay=0.0))
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),

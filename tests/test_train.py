@@ -186,7 +186,7 @@ def test_difficult_gt_excluded_from_training_targets(ssd_setup):
     batch_d = dict(batch, difficult=jnp.asarray(difficult))
 
     rng = jax.random.PRNGKey(1)
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = jax.jit(make_loss_fn(model, cfg))
     loss_excl, _ = loss_fn(state.params, state.batch_stats, batch_d, rng)
 
     batch_masked = dict(batch)
@@ -198,7 +198,7 @@ def test_difficult_gt_excluded_from_training_targets(ssd_setup):
 
     cfg_inc = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, include_difficult=True))
-    loss_fn_inc = make_loss_fn(model, cfg_inc)
+    loss_fn_inc = jax.jit(make_loss_fn(model, cfg_inc))
     loss_inc, _ = loss_fn_inc(state.params, state.batch_stats, batch_d, rng)
     assert abs(float(loss_inc) - float(loss_excl)) > 1e-6
 
