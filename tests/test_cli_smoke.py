@@ -44,3 +44,21 @@ def test_train_then_container_export_cli(tmp_path, monkeypatch):
     # the same image (everything downstream of the backbone is per-image)
     b1 = np.asarray(cont.detect(images[:1])[0])
     np.testing.assert_allclose(b1, boxes[:1], atol=1e-4)
+
+    # predict --artifact: the raw-RGB container drives the demo CLI with
+    # no checkpoint/model code (round-4 serving-consumer path)
+    from PIL import Image
+
+    from x_detector_tpu.cli import predict as predict_cli
+
+    raw_out = str(tmp_path / "container_raw")
+    export_cli.main(common + ["--output", raw_out, "--container",
+                              "--raw-rgb", "--batches", "1"])
+    png = str(tmp_path / "in.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (90, 70, 3), np.uint8),
+        "RGB").save(png)
+    vis = str(tmp_path / "out.png")
+    predict_cli.main(["--artifact", raw_out, "--input", png,
+                      "--output", vis, "--score-threshold", "0.0"])
+    assert Image.open(vis).size == (70, 90)
