@@ -174,3 +174,18 @@ def test_dp_eval_matches_single_device():
     np.testing.assert_array_equal(ref[3], got[3])        # valid mask
     for r, g, name in zip(ref, got, ("boxes", "scores", "classes")):
         np.testing.assert_allclose(r, g, atol=1e-4, err_msg=name)
+
+    # partial final batch: eval data sources do not drop remainders, so
+    # run_eval must zero-pad a 5-image tail to the mesh multiple and
+    # discard the padded rows (regression: this used to assert out)
+    from x_detector_tpu.cli.evaluate import run_eval
+
+    raw = {
+        "image": np.asarray(images[:5]) * 255.0,
+        "gt_boxes": np.tile([[0.2, 0.2, 0.6, 0.6]], (5, 1, 1)),
+        "gt_labels": np.ones((5, 1), np.int32),
+        "gt_mask": np.ones((5, 1), bool),
+    }
+    res = run_eval(model, variables, cfg, iter([raw]), 1, mesh=m,
+                   eval_fn=None)
+    assert 0.0 <= res["mAP"] <= 1.0

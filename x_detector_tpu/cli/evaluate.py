@@ -86,15 +86,22 @@ def run_eval(model, variables, cfg, batch_iter, num_batches: int,
         except StopIteration:
             break
         images = jnp.asarray(raw["image"])
+        n_real = images.shape[0]
         if mesh is not None:
-            assert images.shape[0] % mesh.devices.size == 0, (
-                f"eval batch size {images.shape[0]} must be divisible by "
-                f"the mesh size {mesh.devices.size}")
+            # the data source's final batch may be partial (eval does not
+            # drop remainders); zero-pad it up to a mesh multiple and
+            # discard the padded rows' detections below
+            n_dev = mesh.devices.size
+            if n_real % n_dev:
+                pad = n_dev - n_real % n_dev
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:],
+                                       images.dtype)])
             images = mesh_lib.shard_batch(mesh, images)
         images = preprocess(images)
         boxes, scores, classes, valid = map(
             np.asarray, eval_fn(variables, images))
-        for i in range(images.shape[0]):
+        for i in range(n_real):
             if "image_id" in raw:
                 iid = raw["image_id"][i]
                 image_id = iid.decode() if isinstance(iid, bytes) else str(iid)

@@ -153,9 +153,11 @@ def main(argv=None):
     if args.container:
         from x_detector_tpu import serving
         batches = [int(b) for b in args.batches.split(",")]
-        graphs, desc = {}, ""
+        graphs, descs = {}, []
         for b in batches:
-            graphs[b], desc = export_one(b, weights_as_arg=True)
+            graphs[b], d = export_one(b, weights_as_arg=True)
+            descs.append(d)
+        desc = "; ".join(descs)
         serving.save_container(
             args.output, variables, graphs,
             meta={"preset": cfg.model.name, "image_size": size,

@@ -70,9 +70,9 @@ def save_container(directory: str, variables, graphs: dict,
 
 class DetectorContainer:
     """Reloaded shared-weights batch set: one weights blob, one graph per
-    bucket; ``detect(images[, box_scale])`` routes to the smallest fitting
-    bucket (rows are NOT padded here — pass bucket-shaped inputs, e.g. from
-    ``bucketed_letterbox_batch``)."""
+    bucket; ``detect(images[, box_scale])`` dispatches on the batch size,
+    which must exactly match a bucket (StableHLO shapes are static) — pad
+    requests to a bucket first, e.g. via ``bucketed_letterbox_batch``."""
 
     def __init__(self, directory: str):
         from flax import serialization

@@ -102,16 +102,23 @@ class CheckpointManager:
         os.replace(tmp, self._meta_path(step))
         live = set(self._mgr.all_steps()) | {step}
         for name in os.listdir(self._dir):
-            if name.startswith("meta-") and name.endswith(".json"):
+            # also sweep orphan ".json.tmp" files a crash between the
+            # write and the os.replace above can leave behind
+            if name.startswith("meta-") and name.endswith(".json.tmp"):
+                stem, keep_suffix = name[:-4], False
+            elif name.startswith("meta-") and name.endswith(".json"):
+                stem, keep_suffix = name, True
+            else:
+                continue
+            try:
+                s = int(stem[5:-5])
+            except ValueError:
+                continue
+            if s not in live or not keep_suffix:
                 try:
-                    s = int(name[5:-5])
-                except ValueError:
-                    continue
-                if s not in live:
-                    try:
-                        os.remove(os.path.join(self._dir, name))
-                    except OSError:
-                        pass
+                    os.remove(os.path.join(self._dir, name))
+                except OSError:
+                    pass
 
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> tuple[TrainState, dict]:
