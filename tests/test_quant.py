@@ -207,3 +207,40 @@ def test_act8_train_step_runs():
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                state.params, state2.params)
     assert max(jax.tree_util.tree_leaves(d)) > 0.0
+
+
+def test_prequantize_matches_in_graph_quantization():
+    """quant.prequantize bakes int8 kernels + scales into the pytree with
+    the same formula QuantConv applies in-graph; the two int8 paths must
+    agree to within 1-ulp scale-rounding differences (separately compiled
+    reductions can differ in the last fp32 bit, which can flip a value
+    sitting exactly on a quantization-grid boundary — observed ~1e-7
+    relative).  The container-export contract: stored-int8 weights change
+    the artifact's HBM traffic, not its math."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3),
+                          jnp.float32) * 100.0
+    kw = dict(widths=(16, 32, 48, 64), units_per_stage=(1, 1, 1, 1),
+              dtype=jnp.float32)
+    bb = XceptionLite(**kw)
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    cbb = XceptionLite(quant="calibrate", **kw)
+    _, mut = jax.jit(lambda v, xx: cbb.apply(v, xx, mutable=["quant"]))(
+        variables, x)
+
+    ibb = XceptionLite(quant="int8", **kw)
+    in_graph = jax.jit(ibb.apply)({**variables, **mut}, x)
+
+    pre = quant.prequantize({**variables, **mut})
+    kernels = [v for p, v in
+               jax.tree_util.tree_flatten_with_path(pre["params"])[0]
+               if "kernel" in jax.tree_util.keystr(p)]
+    assert any(k.dtype == jnp.int8 for k in kernels)
+    scales = [v for p, v in
+              jax.tree_util.tree_flatten_with_path(pre["quant"])[0]
+              if "w_scale" in jax.tree_util.keystr(p)]
+    assert scales and all(s.ndim == 1 for s in scales)
+    got = jax.jit(ibb.apply)(pre, x)
+    for k in ("c3", "c4", "c5"):
+        np.testing.assert_allclose(np.asarray(in_graph[k]),
+                                   np.asarray(got[k]),
+                                   rtol=1e-3, atol=1e-2, err_msg=k)

@@ -51,9 +51,11 @@ def main(argv=None):
     p.add_argument("--quant", default="none", choices=("none", "int8"),
                    help="int8: post-training-quantized backbone "
                         "(x_detector_tpu/quant.py) — per-channel int8 "
-                        "weights constant-folded into the artifact, "
-                        "calibrated static activation scales; heads/NMS "
-                        "stay bf16/fp32")
+                        "weights (constant-folded into single artifacts; "
+                        "pre-quantized into the stored pytree for "
+                        "--container, whose graphs take weights as a "
+                        "runtime argument), calibrated static activation "
+                        "scales; heads/NMS stay bf16/fp32")
     p.add_argument("--calib-batches", type=int, default=8,
                    help="calibration batches for --quant int8 (synthetic "
                         "eval-preprocessed images; swap in real data by "
@@ -100,6 +102,13 @@ def main(argv=None):
             cfg.model, backbone_quant="int8"))
         model = quant_lib.build_detector(cfg.model, dtype)
         print(f"calibrated int8 backbone on {args.calib_batches} batches")
+        if args.container:
+            # Container graphs take the weights as a runtime argument, so
+            # in-graph quantization cannot constant-fold; store REAL int8
+            # kernels (+ scales) so the artifact reads int8 from HBM
+            # (bit-identical outputs — quant.prequantize).
+            variables = quant_lib.prequantize(variables)
+            print("prequantized backbone kernels to int8 for the container")
 
     eval_fn = build_eval_fn(model, cfg)
     from jax import export as jexport

@@ -131,12 +131,27 @@ class QuantConv(nn.Module):
                 rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
                 feature_group_count=self.feature_group_count)
         elif self.mode == "int8":
-            # Per-output-channel symmetric weight scales: amax over
-            # (kh, kw, cin) per cout — int32 accumulators rescale with one
-            # [cout] multiply the VPU fuses into the dequant epilogue.
-            sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
-                             1e-8) / 127.0                     # [cout]
-            kq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+            if kernel.dtype == jnp.int8:
+                # Pre-quantized pytree (quant.prequantize: container export
+                # path, where weights are runtime ARGUMENTS and in-graph
+                # quantization could not constant-fold — the artifact must
+                # read int8 from HBM, not quantize fp32 per call).  The
+                # per-channel scales were computed by the identical formula
+                # below and live alongside act_amax.
+                sw = self.variable(
+                    "quant", "w_scale",
+                    lambda: jnp.ones((self.features,), jnp.float32)).value
+                kq = kernel
+            else:
+                # Per-output-channel symmetric weight scales: amax over
+                # (kh, kw, cin) per cout — int32 accumulators rescale with
+                # one [cout] multiply the VPU fuses into the dequant
+                # epilogue.  With weights closed over (single-artifact
+                # export, live model) XLA constant-folds kq to real int8.
+                sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                                 1e-8) / 127.0                 # [cout]
+                kq = jnp.clip(jnp.round(kernel / sw),
+                              -127, 127).astype(jnp.int8)
             sx = jnp.maximum(amax.value, 1e-6) / 127.0         # scalar
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                           -127, 127).astype(jnp.int8)

@@ -82,3 +82,51 @@ def calibrate_backbone(cfg: ExperimentConfig, variables: dict,
     if qv is None:
         raise ValueError("calibrate_backbone needs at least one batch")
     return jax.device_get(qv)
+
+
+def prequantize(variables: dict) -> dict:
+    """Bake the per-channel int8 weight quantization into the pytree.
+
+    For the live model and single-artifact export the weights are
+    closed-over constants, so QuantConv's in-graph quantization
+    constant-folds to real int8 in the compiled program.  The shared-weights
+    container is different: its graphs take the pytree as a runtime
+    ARGUMENT, so nothing folds — an fp32-weight container would re-read and
+    re-quantize every kernel on every call, forfeiting exactly the HBM
+    traffic int8 exists to halve.  This transform quantizes each calibrated
+    backbone conv's kernel host-side with the SAME formula QuantConv uses
+    (outputs agree to within 1-ulp scale-rounding differences between the
+    separately compiled reductions — tested) and stores the [cout] scale
+    next to that conv's ``act_amax``; QuantConv detects the int8 kernel
+    dtype and skips the in-graph quantization.
+
+    ``variables`` must carry a calibrated ``quant`` collection; returns a
+    new variables dict (int8 kernels in ``params``, ``w_scale`` entries in
+    ``quant``).
+    """
+    import copy
+
+    if "quant" not in variables:
+        raise ValueError("prequantize needs a calibrated 'quant' collection "
+                         "(run calibrate_backbone first)")
+    params = copy.deepcopy(jax.device_get(variables["params"]))
+    quantc = copy.deepcopy(jax.device_get(variables["quant"]))
+
+    def walk(qnode, pnode):
+        n = 0
+        for k, v in list(qnode.items()):
+            if isinstance(v, dict):
+                n += walk(v, pnode[k])
+        if "act_amax" in qnode:
+            kernel = jnp.asarray(pnode["kernel"], jnp.float32)
+            sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                             1e-8) / 127.0
+            pnode["kernel"] = jax.device_get(
+                jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8))
+            qnode["w_scale"] = jax.device_get(sw)
+            n += 1
+        return n
+
+    if walk(quantc, params) == 0:
+        raise ValueError("no calibrated convs found in the quant collection")
+    return dict(variables, params=params, quant=quantc)
