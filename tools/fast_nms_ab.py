@@ -154,6 +154,30 @@ def throughput(cfg, detect, variables, iters: int = 8,
     return bsz * iters / best
 
 
+def capstone_config(fam: str, steps: int):
+    """The per-family judged-config synthetic training recipe (DESIGN §18).
+
+    Single source of truth shared by this A/B and tools/quant_ab.py so the
+    two harnesses cannot drift apart: lighthead = BASELINE config 3
+    (lighthead_xception, b16 @ 800px); ssd/xdet = config 2 geometry
+    (512px, preset batch).
+    """
+    if fam == "lighthead":
+        cfg = lighthead_xception(image_size=800)
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, batch_size=16, learning_rate=2e-3,
+                warmup_steps=200,
+                lr_boundaries=(steps * 2 // 3, steps * 7 // 8),
+                lr_decays=(1.0, 0.3, 0.1)))
+    cfg = (ssd_resnet50 if fam == "ssd" else xdet_xception)(image_size=512)
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, learning_rate=2e-3, warmup_steps=200,
+            lr_boundaries=(steps * 2 // 3, steps * 7 // 8),
+            lr_decays=(1.0, 0.3, 0.1)))
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--family", default="both",
@@ -166,22 +190,7 @@ def main():
             "all": ["lighthead", "ssd", "xdet"]}.get(args.family,
                                                      [args.family])
     for fam in fams:
-        if fam == "lighthead":
-            cfg = lighthead_xception(image_size=800)
-            cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(
-                    cfg.train, batch_size=16, learning_rate=2e-3,
-                    warmup_steps=200,
-                    lr_boundaries=(args.steps * 2 // 3, args.steps * 7 // 8),
-                    lr_decays=(1.0, 0.3, 0.1)))
-        else:
-            cfg = (ssd_resnet50 if fam == "ssd" else xdet_xception)(
-                image_size=512)
-            cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(
-                    cfg.train, learning_rate=2e-3, warmup_steps=200,
-                    lr_boundaries=(args.steps * 2 // 3, args.steps * 7 // 8),
-                    lr_decays=(1.0, 0.3, 0.1)))
+        cfg = capstone_config(fam, args.steps)
         print(f"[{fam}] training {args.steps} synthetic steps...", flush=True)
         model, state = train_synthetic(cfg, args.steps)
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -30,9 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench_infer import _time_fn
-from fast_nms_ab import eval_map, train_synthetic
+from fast_nms_ab import capstone_config, eval_map, train_synthetic
 from x_detector_tpu import quant
-from x_detector_tpu.config import lighthead_xception, ssd_resnet50
+
 from x_detector_tpu.data.augment import preprocess_for_eval
 from x_detector_tpu.data.synthetic import synthetic_batch_device
 from x_detector_tpu.models.detector import postprocess_detections
@@ -88,21 +88,8 @@ def main():
             else [args.family])
     seeds = [int(s) for s in args.seeds.split(",")]
     for fam in fams:
-        if fam == "lighthead":
-            cfg = lighthead_xception(image_size=800)
-            cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(
-                    cfg.train, batch_size=16, learning_rate=2e-3,
-                    warmup_steps=200,
-                    lr_boundaries=(args.steps * 2 // 3, args.steps * 7 // 8),
-                    lr_decays=(1.0, 0.3, 0.1)))
-        else:
-            cfg = ssd_resnet50(image_size=512)
-            cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(
-                    cfg.train, learning_rate=2e-3, warmup_steps=200,
-                    lr_boundaries=(args.steps * 2 // 3, args.steps * 7 // 8),
-                    lr_decays=(1.0, 0.3, 0.1)))
+        # one shared recipe with fast_nms_ab so the two A/Bs cannot drift
+        cfg = capstone_config(fam, args.steps)
         if args.smoke:
             from x_detector_tpu.config import (DataConfig, NMSConfig,
                                                ProposalConfig)
