@@ -178,12 +178,40 @@ def capstone_config(fam: str, steps: int):
             lr_decays=(1.0, 0.3, 0.1)))
 
 
+def smoke_shrink(cfg, fam: str):
+    """Tiny-capacity 64px variant of a capstone config (the test suite's
+    shapes): lets either A/B harness validate its full path on CPU in
+    minutes before spending TPU time.  Shared with tools/quant_ab.py.
+    The numbers a smoke run prints are NOT the judged surfaces."""
+    from x_detector_tpu.config import DataConfig, NMSConfig, ProposalConfig
+    tiny = dict(image_size=64,
+                backbone_stages=(1, 1, 1, 1),
+                backbone_widths=(16, 32, 48, 64))
+    if fam == "lighthead":
+        tiny.update(
+            large_sep_mid=16, head_dim=64,
+            backbone_widths=(32, 64, 96, 128),
+            proposals=ProposalConfig(
+                pre_nms_topk=128, post_nms_topk=32,
+                pre_nms_topk_eval=128, post_nms_topk_eval=32,
+                min_size=2.0),
+            nms=NMSConfig(max_output=20))
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, **tiny),
+        data=DataConfig(image_size=64, max_gt_boxes=8),
+        train=dataclasses.replace(cfg.train, batch_size=2, warmup_steps=0))
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--family", default="both",
                    choices=["lighthead", "ssd", "xdet", "both", "all"])
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--eval-batches", type=int, default=10)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny-capacity 64px configs — CPU validation of "
+                        "the harness, not the judged measurement")
     args = p.parse_args()
 
     fams = {"both": ["lighthead", "ssd"],
@@ -191,6 +219,8 @@ def main():
                                                      [args.family])
     for fam in fams:
         cfg = capstone_config(fam, args.steps)
+        if args.smoke:
+            cfg = smoke_shrink(cfg, fam)
         print(f"[{fam}] training {args.steps} synthetic steps...", flush=True)
         model, state = train_synthetic(cfg, args.steps)
         variables = {"params": state.params, "batch_stats": state.batch_stats}

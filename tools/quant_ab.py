@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench_infer import _time_fn
-from fast_nms_ab import capstone_config, eval_map, train_synthetic
+from fast_nms_ab import (capstone_config, eval_map, smoke_shrink,
+                         train_synthetic)
 from x_detector_tpu import quant
 
 from x_detector_tpu.data.augment import preprocess_for_eval
@@ -91,26 +92,7 @@ def main():
         # one shared recipe with fast_nms_ab so the two A/Bs cannot drift
         cfg = capstone_config(fam, args.steps)
         if args.smoke:
-            from x_detector_tpu.config import (DataConfig, NMSConfig,
-                                               ProposalConfig)
-            tiny = dict(image_size=64,
-                        backbone_stages=(1, 1, 1, 1),
-                        backbone_widths=(16, 32, 48, 64))
-            if fam == "lighthead":
-                tiny.update(
-                    large_sep_mid=16, head_dim=64,
-                    backbone_widths=(32, 64, 96, 128),
-                    proposals=ProposalConfig(
-                        pre_nms_topk=128, post_nms_topk=32,
-                        pre_nms_topk_eval=128, post_nms_topk_eval=32,
-                        min_size=2.0),
-                    nms=NMSConfig(max_output=20))
-            cfg = dataclasses.replace(
-                cfg,
-                model=dataclasses.replace(cfg.model, **tiny),
-                data=DataConfig(image_size=64, max_gt_boxes=8),
-                train=dataclasses.replace(cfg.train, batch_size=2,
-                                          warmup_steps=0))
+            cfg = smoke_shrink(cfg, fam)
         size = cfg.model.image_size
         bsz = cfg.train.batch_size
         for seed in seeds:
