@@ -126,7 +126,10 @@ def test_forward_parity_with_torch(tiny_torch_resnet):
         torch_np = np.transpose(torch_out.numpy(), (0, 2, 3, 1))
         flax_np = np.asarray(feats[name])
         assert flax_np.shape == torch_np.shape, name
-        np.testing.assert_allclose(flax_np, torch_np, atol=2e-3, rtol=1e-2,
+        # tight: with BN epsilon matched to torch's 1e-5 (round-4 review),
+        # the only residue is fp32 op-ordering; a loosened tolerance here
+        # previously hid a 10x epsilon mismatch
+        np.testing.assert_allclose(flax_np, torch_np, atol=1e-4, rtol=1e-4,
                                    err_msg=name)
 
 

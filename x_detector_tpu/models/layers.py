@@ -181,7 +181,12 @@ class BatchNorm2D(nn.Module):
     path cost ~2x the backbone's whole HBM budget at 800px).
     """
     momentum: float = 0.99
-    epsilon: float = 1e-4
+    # 1e-5 matches BOTH lineages this model loads weights from: torchvision
+    # BatchNorm2d (the pretrained graft, utils/pretrained.py) and TF-slim's
+    # resnet_arg_scope(batch_norm_epsilon=1e-5) in the reference.  A larger
+    # epsilon systematically mis-scales channels with small running_var
+    # (round-4 review finding).
+    epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
