@@ -62,9 +62,16 @@ def test_difficult_gt_excluded():
     res = ev.evaluate()
     # difficult gt not in denominator -> full recall, AP 1.0
     assert abs(res["per_class_ap"][1] - 1.0) < 1e-9
-    # a match to the difficult gt counts neither way
-    ev.add_detections("img1", _box(0.6, 0.6, 0.9, 0.9), [0.8], [1])
-    res2 = ev.evaluate()
+    # a match to the difficult gt counts neither way (fresh evaluator:
+    # add_detections rejects re-registration, so both dets go in one call)
+    ev2 = VOCEvaluator(num_classes=1, use_07_metric=False)
+    ev2.add_ground_truth("img1", np.concatenate([
+        _box(0.1, 0.1, 0.5, 0.5), _box(0.6, 0.6, 0.9, 0.9)]),
+        [1, 1], difficult=[False, True])
+    ev2.add_detections("img1", np.concatenate([
+        _box(0.1, 0.1, 0.5, 0.5), _box(0.6, 0.6, 0.9, 0.9)]),
+        [0.9, 0.8], [1, 1])
+    res2 = ev2.evaluate()
     assert abs(res2["per_class_ap"][1] - 1.0) < 1e-9
 
 
@@ -72,8 +79,12 @@ def test_score_ordering_matters():
     # low-scored tp after high-scored fp lowers AP
     ev = VOCEvaluator(num_classes=1, use_07_metric=False)
     ev.add_ground_truth("img1", _box(0.1, 0.1, 0.5, 0.5), [1])
-    ev.add_detections("img1", _box(0.6, 0.6, 0.9, 0.9), [0.9], [1])  # fp
-    ev.add_detections("img1", _box(0.1, 0.1, 0.5, 0.5), [0.5], [1])  # tp
+    # one call per image (add_detections, like add_ground_truth, rejects
+    # re-registration): high-scored fp + low-scored tp
+    ev.add_detections(
+        "img1",
+        np.concatenate([_box(0.6, 0.6, 0.9, 0.9), _box(0.1, 0.1, 0.5, 0.5)]),
+        [0.9, 0.5], [1, 1])
     res = ev.evaluate()
     assert abs(res["per_class_ap"][1] - 0.5) < 1e-9
 
@@ -99,5 +110,21 @@ def test_duplicate_ground_truth_registration_ignored():
         ev.add_ground_truth("img0", gt_b, np.array([1]))
     assert any("duplicate" in str(r.message) for r in rec)
     ev.add_detections("img0", gt_b, np.array([0.9]), np.array([1]))
+    res = ev.evaluate()
+    np.testing.assert_allclose(res["mAP"], 1.0, rtol=1e-9)
+
+
+def test_duplicate_detections_registration_ignored():
+    """Mirror of the gt guard (round-4 review): re-adding an image's
+    detections must not double-count them as false positives."""
+    import warnings as w
+    ev = VOCEvaluator(num_classes=2)
+    gt_b = np.array([[0.1, 0.1, 0.5, 0.5]])
+    ev.add_ground_truth("img0", gt_b, np.array([1]))
+    ev.add_detections("img0", gt_b, np.array([0.9]), np.array([1]))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        ev.add_detections("img0", gt_b, np.array([0.9]), np.array([1]))
+    assert any("duplicate detections" in str(r.message) for r in rec)
     res = ev.evaluate()
     np.testing.assert_allclose(res["mAP"], 1.0, rtol=1e-9)

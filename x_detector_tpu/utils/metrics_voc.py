@@ -70,6 +70,7 @@ class VOCEvaluator:
         self.use_07_metric = use_07_metric
         self._gt: Dict[Tuple[str, int], Dict[str, np.ndarray]] = {}
         self._gt_images: set = set()
+        self._det_images: set = set()
         self._dets: Dict[int, List[Tuple[str, float, np.ndarray]]] = (
             collections.defaultdict(list))
         self._npos = np.zeros(num_classes + 1, np.int64)
@@ -97,6 +98,15 @@ class VOCEvaluator:
             self._npos[int(cls)] += int((~difficult[sel]).sum())
 
     def add_detections(self, image_id: str, boxes, scores, labels) -> None:
+        if image_id in self._det_images:
+            # Mirror of add_ground_truth's guard: re-appending an image's
+            # detections double-counts them as false positives (each
+            # duplicate overlaps an already-matched gt), silently
+            # depressing precision.
+            warnings.warn(f"duplicate detections for image {image_id!r} "
+                          "ignored (already registered)")
+            return
+        self._det_images.add(image_id)
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         scores = np.asarray(scores, np.float32).reshape(-1)
         labels = np.asarray(labels, np.int64).reshape(-1)
