@@ -1,5 +1,6 @@
 """Native C++ loader vs tf.data reader parity on generated VOC records."""
 
+import os
 import numpy as np
 import pytest
 
@@ -163,3 +164,46 @@ def test_native_resume_nonrepeat_partial_tail(records):
     seen = sum(b["image"].shape[0] for b in loader)
     loader.close()
     assert seen == len(ids) - 4
+
+
+@pytest.mark.slow  # forces a full rebuild of the C++ loader
+def test_stale_abi_so_recovers_in_process(tmp_path):
+    """A fresh-mtime .so from an older ABI revision must be rebuilt AND
+    reloaded within the same process.  dlopen dedups by pathname and
+    ctypes never dlcloses, so re-CDLLing _SO_PATH after the rebuild
+    returns the stale image — the loader must load the rebuilt library
+    from a unique path (round-4 review finding).  Run in a fresh
+    subprocess: this test module's own import already mapped the good
+    library at that pathname, which would mask the staleness."""
+    import subprocess
+    import sys
+
+    from x_detector_tpu.data import native_loader as nl
+
+    # compile a bad .so (wrong ABI) into the real location, fresh mtime
+    bad_c = tmp_path / "bad.c"
+    bad_c.write_text("int xdet_loader_abi_version(void){return 999;}\n")
+    subprocess.run(["cc", "-shared", "-fPIC", "-o", nl._SO_PATH,
+                    str(bad_c)], check=True)
+
+    probe = (
+        "import ctypes\n"
+        "from x_detector_tpu.data import native_loader as nl\n"
+        # the fresh process first maps the BAD library at the real path
+        # (what any prior import in a long-lived process would have done)
+        f"assert ctypes.CDLL({nl._SO_PATH!r}).xdet_loader_abi_version() == 999\n"
+        "lib = nl._load_library(build_if_missing=True)\n"
+        "print('recovered-abi', lib.xdet_loader_abi_version())\n")
+    out = subprocess.run([sys.executable, "-c", probe],
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert f"recovered-abi {nl._ABI_VERSION}" in out.stdout
+    # and the on-disk .so was rebuilt for later processes
+    check = subprocess.run(
+        [sys.executable, "-c",
+         "import ctypes; "
+         f"print(ctypes.CDLL({nl._SO_PATH!r}).xdet_loader_abi_version())"],
+        capture_output=True, text=True, check=True)
+    assert check.stdout.strip() == str(nl._ABI_VERSION)

@@ -64,8 +64,21 @@ def _load_library(build_if_missing: bool = True):
             raise ImportError("stale libxdet_loader.so (ABI mismatch)")
         del lib
         _build(force=True)
-        lib = ctypes.CDLL(_SO_PATH)
-        assert lib.xdet_loader_abi_version() == _ABI_VERSION
+        # dlopen dedups by pathname and ctypes never dlcloses, so CDLL on
+        # _SO_PATH again would hand back the STALE already-loaded image
+        # (round-4 review, verified empirically).  Copy the rebuilt
+        # library to a unique path and load that.
+        import shutil
+        import tempfile
+        fd, fresh = tempfile.mkstemp(prefix="xdet_loader_rebuilt_",
+                                     suffix=".so")
+        os.close(fd)
+        shutil.copy2(_SO_PATH, fresh)
+        lib = ctypes.CDLL(fresh)
+        if lib.xdet_loader_abi_version() != _ABI_VERSION:
+            raise ImportError(
+                "rebuilt libxdet_loader.so still reports ABI "
+                f"{lib.xdet_loader_abi_version()} != {_ABI_VERSION}")
     lib.xdet_loader_create.restype = ctypes.c_void_p
     lib.xdet_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
