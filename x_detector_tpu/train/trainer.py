@@ -80,22 +80,6 @@ def make_ssd_loss_fn(model: SSDModel, cfg: ExperimentConfig):
     return loss_fn
 
 
-def make_ssd_train_step(model: SSDModel, cfg: ExperimentConfig
-                        ) -> Callable[[TrainState, Batch, jax.Array],
-                                      Tuple[TrainState, Dict[str, Any]]]:
-    loss_fn = make_ssd_loss_fn(model, cfg)
-
-    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng)
-        state = state.apply_gradients(grads, new_bs)
-        metrics = dict(metrics, total_loss=loss)
-        return state, metrics
-
-    return train_step
-
-
 # ---------------------------------------------------------------------------
 # Light-Head R-CNN family
 # ---------------------------------------------------------------------------
@@ -156,22 +140,6 @@ def make_lighthead_loss_fn(model: LightHeadRCNN, cfg: ExperimentConfig):
     return loss_fn
 
 
-def make_lighthead_train_step(model: LightHeadRCNN, cfg: ExperimentConfig
-                              ) -> Callable[[TrainState, Batch, jax.Array],
-                                            Tuple[TrainState, Dict[str, Any]]]:
-    loss_fn = make_lighthead_loss_fn(model, cfg)
-
-    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng)
-        state = state.apply_gradients(grads, new_bs)
-        metrics = dict(metrics, total_loss=loss)
-        return state, metrics
-
-    return train_step
-
-
 # ---------------------------------------------------------------------------
 # State construction
 # ---------------------------------------------------------------------------
@@ -199,14 +167,27 @@ def create_model_and_state(cfg: ExperimentConfig, rng: jax.Array,
     return model, state
 
 
-def make_train_step(model, cfg: ExperimentConfig):
-    if cfg.model.family == "ssd":
-        return make_ssd_train_step(model, cfg)
-    return make_lighthead_train_step(model, cfg)
-
-
 def make_loss_fn(model, cfg: ExperimentConfig):
     """Family-dispatched loss_fn(params, batch_stats, batch, rng)."""
     if cfg.model.family == "ssd":
         return make_ssd_loss_fn(model, cfg)
     return make_lighthead_loss_fn(model, cfg)
+
+
+def make_train_step(model, cfg: ExperimentConfig
+                    ) -> Callable[[TrainState, Batch, jax.Array],
+                                  Tuple[TrainState, Dict[str, Any]]]:
+    """One factory for both families: value_and_grad over the dispatched
+    loss fn, gradient application, metrics dict (was duplicated verbatim
+    per family)."""
+    loss_fn = make_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng)
+        state = state.apply_gradients(grads, new_bs)
+        metrics = dict(metrics, total_loss=loss)
+        return state, metrics
+
+    return train_step

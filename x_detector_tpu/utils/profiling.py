@@ -30,7 +30,8 @@ def trace(logdir: str):
 
 
 def _fence(result) -> None:
-    """Force completion: host readback of the first scalar-ish leaf."""
+    """Force completion: host readback of the LAST pytree leaf (callers
+    put their small scalar there — see DeviceTimer's docstring)."""
     leaf = jax.tree_util.tree_leaves(result)[-1]
     np.asarray(leaf).ravel()[:1]
 
