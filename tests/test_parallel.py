@@ -189,3 +189,117 @@ def test_dp_eval_matches_single_device():
     res = run_eval(model, variables, cfg, iter([raw]), 1, mesh=m,
                    eval_fn=None)
     assert 0.0 <= res["mAP"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (TrainConfig.grad_accum_steps)
+# ---------------------------------------------------------------------------
+
+def _bn_touching_surrogate(params, batch_stats, b, rng):
+    """Continuous loss that also perturbs batch_stats, so the accumulation
+    path's grad averaging AND BN-stat averaging are both exercised (see
+    test_dp_collective_math_exact_on_continuous_loss for why the real
+    detection losses cannot be compared bitwise across partitionings)."""
+    del rng
+    k = params["backbone"]["stem"]["Conv_0"]["kernel"]
+    loss = (jnp.tanh(k) ** 2).sum() * (b["image"] ** 2).mean()
+    new_bs = jax.tree_util.tree_map(
+        lambda s: s + b["image"].mean(), batch_stats)
+    return loss, ({"surrogate": loss}, new_bs)
+
+
+def test_grad_accum_matches_dp_math():
+    """accum-4 on one device == 4-way DP == (2-way DP x accum-2), exactly:
+    same grads (averaged), same BN stats (averaged from the step-initial
+    running stats, i.e. pmean semantics), same metrics."""
+    from x_detector_tpu.train.trainer import make_grad_fn
+
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
+    model, state0 = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                           dtype=jnp.float32)
+    batch = get_batch(cfg)
+    rng = jax.random.PRNGKey(3)
+
+    # arm 1: single device, accum 4
+    gf = jax.jit(make_grad_fn(_bn_touching_surrogate, 4))
+    grads, new_bs, metrics = gf(state0.params, state0.batch_stats, batch,
+                                rng)
+    s_accum = state0.apply_gradients(grads, new_bs)
+
+    # The DP steps donate their state arg and replicate_state aliases the
+    # input buffers on CPU — each donating arm gets a genuine copy.
+    def state_copy():
+        return jax.tree_util.tree_map(jnp.array, state0)
+
+    # arm 2: 4-way DP, no accumulation
+    m4 = mesh_lib.make_mesh(4)
+    dp4 = make_dp_train_step(model, cfg, m4,
+                             loss_fn=_bn_touching_surrogate)
+    s_dp, m_dp = dp4(mesh_lib.replicate_state(m4, state_copy()),
+                     mesh_lib.shard_batch(m4, batch), rng)
+
+    # arm 3: 2-way DP x accum-2 composition
+    cfg22 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum_steps=2))
+    m2 = mesh_lib.make_mesh(2)
+    dp22 = make_dp_train_step(model, cfg22, m2,
+                              loss_fn=_bn_touching_surrogate)
+    s_22, _ = dp22(mesh_lib.replicate_state(m2, state_copy()),
+                   mesh_lib.shard_batch(m2, batch), rng)
+
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               float(m_dp["total_loss"]), rtol=1e-6)
+    for ref, got, tag in ((s_accum, s_dp, "dp4"), (s_accum, s_22, "dp2x2")):
+        for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                        jax.tree_util.tree_leaves(got.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=tag)
+        for a, b in zip(jax.tree_util.tree_leaves(ref.batch_stats),
+                        jax.tree_util.tree_leaves(got.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=tag + " bn")
+
+
+def test_grad_accum_batch_divisibility_error():
+    from x_detector_tpu.train.trainer import make_grad_fn
+
+    cfg = small_ssd_cfg()
+    model, state0 = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                           dtype=jnp.float32)
+    batch = get_batch(cfg)  # batch 2
+    gf = make_grad_fn(_bn_touching_surrogate, 3)
+    with pytest.raises(ValueError, match="not divisible"):
+        gf(state0.params, state0.batch_stats, batch, jax.random.PRNGKey(0))
+
+
+@pytest.mark.slow  # compiles a full SSD train step with a scan body
+def test_grad_accum_real_family_step():
+    """The real SSD loss under accum-2: runs, learns direction (finite
+    loss), one optimizer update, loss ~= mean of the per-microbatch losses
+    (loose: OHEM top-k can reassociate across compilations)."""
+    from x_detector_tpu.train.trainer import make_loss_fn, make_train_step
+
+    cfg = small_ssd_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4,
+                                       grad_accum_steps=2))
+    model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                          dtype=jnp.float32)
+    batch = get_batch(cfg)
+    rng = jax.random.PRNGKey(7)
+    step = jax.jit(make_train_step(model, cfg))
+    state1, metrics = step(state, batch, rng)
+    assert int(state1.step) == 1
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    loss_fn = jax.jit(make_loss_fn(model, cfg))
+    micro_losses = []
+    for i in range(2):
+        mb = {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()}
+        l, _ = loss_fn(state.params, state.batch_stats, mb,
+                       jax.random.fold_in(rng, i))
+        micro_losses.append(float(l))
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               np.mean(micro_losses), rtol=1e-3)

@@ -40,6 +40,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone-widths", default=None,
                    help="comma list overriding backbone channel widths, "
                         "e.g. 16,32,48,64")
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="split each train batch into N sequential "
+                        "microbatches with one optimizer update (DP-"
+                        "equivalent numerics at ~1/N activation memory); "
+                        "batch size must be divisible by N")
 
 
 def eval_variables(state, use_ema=None):
@@ -65,10 +70,14 @@ def resolve_config(args) -> ExperimentConfig:
     cfg = PRESETS[args.preset](
         image_size=args.image_size) if args.image_size else \
         PRESETS[args.preset]()
+    tcfg = {}
     if args.batch_size:
+        tcfg["batch_size"] = args.batch_size
+    if getattr(args, "grad_accum", None):
+        tcfg["grad_accum_steps"] = args.grad_accum
+    if tcfg:
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           batch_size=args.batch_size))
+            cfg, train=dataclasses.replace(cfg.train, **tcfg))
     if getattr(args, "letterbox", None) is not None:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data,

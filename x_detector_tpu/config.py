@@ -206,6 +206,13 @@ class TrainConfig:
     neg_pos_ratio: float = 3.0
     ssd_match_iou: float = 0.5
     ema_decay: float = 0.0            # 0 disables the EMA shadow
+    # Gradient accumulation: split each step's batch into N sequential
+    # microbatches, average grads/BN-stats/metrics, apply ONE optimizer
+    # update.  Numerically matches N-way data parallelism with the same
+    # per-device batch (grads pmean'd, BN stats pmean'd from the
+    # step-initial running stats) — lets one chip emulate a config-5
+    # global batch at 1/N the activation memory.
+    grad_accum_steps: int = 1
     checkpoint_every: int = 1000
     keep_checkpoints: int = 5
     seed: int = 0

@@ -16,7 +16,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from x_detector_tpu.config import ExperimentConfig
 from x_detector_tpu.parallel.mesh import DATA_AXIS
-from x_detector_tpu.train.trainer import make_loss_fn
+from x_detector_tpu.train.trainer import make_grad_fn, make_loss_fn
 from x_detector_tpu.train.train_state import TrainState
 
 
@@ -30,18 +30,20 @@ def make_dp_train_step(model, cfg: ExperimentConfig, mesh: Mesh,
     """
     if loss_fn is None:
         loss_fn = make_loss_fn(model, cfg)
+    # Composes with gradient accumulation: each device scans its shard in
+    # cfg.train.grad_accum_steps microbatches before the pmean (global
+    # batch = devices x accum x microbatch, one optimizer update).
+    grad_fn = make_grad_fn(loss_fn, cfg.train.grad_accum_steps)
 
     def per_device(state: TrainState, batch, rng: jax.Array):
         # Decorrelate per-device randomness (RPN sampling etc.).
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng)
+        grads, new_bs, metrics = grad_fn(state.params, state.batch_stats,
+                                         batch, rng)
         # Gradient + BN-stat + metric sync over ICI.
         grads = jax.lax.pmean(grads, DATA_AXIS)
         new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
-        metrics = jax.lax.pmean(
-            dict(metrics, total_loss=loss), DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
         state = state.apply_gradients(grads, new_bs)
         return state, metrics
 

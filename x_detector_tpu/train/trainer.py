@@ -174,20 +174,70 @@ def make_loss_fn(model, cfg: ExperimentConfig):
     return make_lighthead_loss_fn(model, cfg)
 
 
+def make_grad_fn(loss_fn, accum: int = 1):
+    """(params, batch_stats, batch, rng) -> (grads, new_bs, metrics).
+
+    ``accum > 1`` splits the batch's leading axis into ``accum`` sequential
+    microbatches under ``lax.scan`` and averages grads, BN stats, and
+    metrics — ONE optimizer update per call.  Semantics deliberately match
+    ``accum``-way data parallelism with the same per-device batch
+    (parallel/data_parallel.py): each microbatch's BN stats are computed
+    from the STEP-INITIAL running stats and then averaged (= ``pmean``),
+    not chained, and the per-microbatch rng is ``fold_in(rng, i)`` exactly
+    like the DP body's ``fold_in(rng, axis_index)``.  Peak activation
+    memory drops ~1/accum; tested equivalent to the DP step
+    (tests/test_train.py).
+    """
+    base = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if accum <= 1:
+        def grad_fn(params, batch_stats, batch, rng):
+            (loss, (metrics, new_bs)), grads = base(params, batch_stats,
+                                                    batch, rng)
+            return grads, new_bs, dict(metrics, total_loss=loss)
+        return grad_fn
+
+    def grad_fn(params, batch_stats, batch, rng):
+        bsz = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if bsz % accum:
+            raise ValueError(f"batch size {bsz} not divisible by "
+                             f"grad_accum_steps={accum}")
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum, bsz // accum) + x.shape[1:]), batch)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(accum))
+
+        def body(gsum, xs):
+            mb, key = xs
+            (loss, (metrics, new_bs)), grads = base(params, batch_stats,
+                                                    mb, key)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return gsum, (dict(metrics, total_loss=loss), new_bs)
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        gsum, (metrics, new_bss) = jax.lax.scan(body, zeros, (micro, keys))
+        inv = 1.0 / accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+        new_bs = jax.tree_util.tree_map(lambda x: x.mean(axis=0), new_bss)
+        metrics = {k: v.mean(axis=0) for k, v in metrics.items()}
+        return grads, new_bs, metrics
+
+    return grad_fn
+
+
 def make_train_step(model, cfg: ExperimentConfig
                     ) -> Callable[[TrainState, Batch, jax.Array],
                                   Tuple[TrainState, Dict[str, Any]]]:
     """One factory for both families: value_and_grad over the dispatched
-    loss fn, gradient application, metrics dict (was duplicated verbatim
-    per family)."""
-    loss_fn = make_loss_fn(model, cfg)
+    loss fn (microbatched when cfg.train.grad_accum_steps > 1), gradient
+    application, metrics dict."""
+    grad_fn = make_grad_fn(make_loss_fn(model, cfg),
+                           cfg.train.grad_accum_steps)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng)
+        grads, new_bs, metrics = grad_fn(state.params, state.batch_stats,
+                                         batch, rng)
         state = state.apply_gradients(grads, new_bs)
-        metrics = dict(metrics, total_loss=loss)
         return state, metrics
 
     return train_step
