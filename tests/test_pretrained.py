@@ -153,3 +153,140 @@ def test_graft_keeps_head_init(tiny_torch_resnet):
     np.testing.assert_allclose(
         np.asarray(new_vars["params"]["head"]["cls0"]["kernel"]),
         head_before, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# TF-slim checkpoint graft (the reference's actual pretrained format)
+# ---------------------------------------------------------------------------
+
+def _slim_dict_from_torch(sd, scope="resnet_v1_50"):
+    """Rename a torchvision state dict into TF-slim resnet_v1_50 variable
+    names (convs transposed OIHW->HWIO), so the slim converter can be
+    checked against the forward-parity-tested torch converter."""
+    out = {}
+
+    def conv(w):
+        return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))
+
+    def bn(torch_prefix, slim_prefix):
+        out[f"{scope}/{slim_prefix}/BatchNorm/gamma"] = np.asarray(
+            sd[f"{torch_prefix}.weight"], np.float32)
+        out[f"{scope}/{slim_prefix}/BatchNorm/beta"] = np.asarray(
+            sd[f"{torch_prefix}.bias"], np.float32)
+        out[f"{scope}/{slim_prefix}/BatchNorm/moving_mean"] = np.asarray(
+            sd[f"{torch_prefix}.running_mean"], np.float32)
+        out[f"{scope}/{slim_prefix}/BatchNorm/moving_variance"] = np.asarray(
+            sd[f"{torch_prefix}.running_var"], np.float32)
+
+    out[f"{scope}/conv1/weights"] = conv(sd["conv1.weight"])
+    bn("bn1", "conv1")
+    for stage, n in enumerate((3, 4, 6, 3)):
+        for b in range(n):
+            t = f"layer{stage + 1}.{b}"
+            s = f"block{stage + 1}/unit_{b + 1}/bottleneck_v1"
+            for ci in range(3):
+                out[f"{scope}/{s}/conv{ci + 1}/weights"] = conv(
+                    sd[f"{t}.conv{ci + 1}.weight"])
+                bn(f"{t}.bn{ci + 1}", f"{s}/conv{ci + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                out[f"{scope}/{s}/shortcut/weights"] = conv(
+                    sd[f"{t}.downsample.0.weight"])
+                bn(f"{t}.downsample.1", f"{s}/shortcut")
+    # the reference restore excludes the logits head; make sure ours does too
+    out[f"{scope}/logits/weights"] = np.zeros((1, 1, 2048, 1000), np.float32)
+    out[f"{scope}/logits/biases"] = np.zeros((1000,), np.float32)
+    return out
+
+
+def test_tf_slim_mapping_equals_torch_mapping(tiny_torch_resnet):
+    """The slim-name converter produces the SAME (params, batch_stats) as
+    the forward-parity-tested torch converter given the same weights."""
+    from x_detector_tpu.utils.pretrained import tf_slim_resnet50_to_flax
+
+    sd = {k: v.numpy() for k, v in tiny_torch_resnet.state_dict().items()}
+    ref_p, ref_s = torch_resnet50_to_flax(sd)
+    got_p, got_s = tf_slim_resnet50_to_flax(_slim_dict_from_torch(sd))
+
+    for ref, got, tag in ((ref_p, got_p, "params"), (ref_s, got_s, "stats")):
+        rl = jax.tree_util.tree_flatten_with_path(ref)[0]
+        gl = jax.tree_util.tree_flatten_with_path(got)[0]
+        assert [p for p, _ in rl] == [p for p, _ in gl], tag
+        for (path, a), (_, b) in zip(rl, gl):
+            np.testing.assert_array_equal(a, b, err_msg=f"{tag}:{path}")
+
+
+@pytest.mark.slow  # writes + reads a real TF checkpoint (imports TF)
+def test_tf_checkpoint_reader_roundtrip(tiny_torch_resnet, tmp_path):
+    """read_tf_checkpoint on a genuine TF1-style (Saver) checkpoint with
+    slim variable names returns every tensor bit-exact."""
+    tf = pytest.importorskip("tensorflow")
+    from x_detector_tpu.utils.pretrained import (read_tf_checkpoint,
+                                                 tf_slim_resnet50_to_flax)
+
+    sd = {k: v.numpy() for k, v in tiny_torch_resnet.state_dict().items()}
+    slim = _slim_dict_from_torch(sd)
+    ckpt_path = str(tmp_path / "resnet_v1_50.ckpt")
+    with tf.Graph().as_default():
+        for name, val in slim.items():
+            tf.compat.v1.get_variable(name, initializer=val)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            tf.compat.v1.train.Saver().save(sess, ckpt_path)
+
+    back = read_tf_checkpoint(ckpt_path)
+    assert set(back) == set(slim)
+    for name in slim:
+        np.testing.assert_array_equal(back[name], slim[name], err_msg=name)
+
+    # end-to-end: reader output -> converter -> graft into the flax model
+    params, stats = tf_slim_resnet50_to_flax(back)
+    model = resnet50(dilate_c5=False, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    grafted = load_backbone_into_variables(
+        {"params": {"backbone": variables["params"]},
+         "batch_stats": {"backbone": variables["batch_stats"]}},
+        params, stats)
+    feats = model.apply(
+        {"params": grafted["params"]["backbone"],
+         "batch_stats": grafted["batch_stats"]["backbone"]},
+        x, train=False)
+    assert feats["c5"].shape[-1] == 2048
+
+
+@pytest.mark.slow  # TF checkpoint write + two graft paths
+def test_load_pretrained_backbone_sniffs_both_formats(tiny_torch_resnet,
+                                                      tmp_path):
+    """The --pretrained CLI path: .pth -> torch converter, checkpoint
+    prefix -> TF-slim converter; both graft identical trees."""
+    tf = pytest.importorskip("tensorflow")
+    from x_detector_tpu.utils.pretrained import load_pretrained_backbone
+
+    sd = tiny_torch_resnet.state_dict()
+    pth = str(tmp_path / "r50.pth")
+    torch.save(sd, pth)
+    slim = _slim_dict_from_torch({k: v.numpy() for k, v in sd.items()})
+    ckpt = str(tmp_path / "r50_slim.ckpt")
+    with tf.Graph().as_default():
+        for name, val in slim.items():
+            tf.compat.v1.get_variable(name, initializer=val)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            tf.compat.v1.train.Saver().save(sess, ckpt)
+
+    model = resnet50(dilate_c5=False, dtype=jnp.float32)
+    v0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    wrapped = {"params": {"backbone": v0["params"]},
+               "batch_stats": {"backbone": v0["batch_stats"]}}
+
+    via_torch = load_pretrained_backbone(wrapped, pth)
+    via_slim = load_pretrained_backbone(wrapped, ckpt)
+    for a, b in zip(jax.tree_util.tree_leaves(via_torch),
+                    jax.tree_util.tree_leaves(via_slim)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the stem kernel actually changed from the fresh init
+    assert not np.allclose(
+        np.asarray(v0["params"]["stem"]["Conv_0"]["kernel"]),
+        np.asarray(via_torch["params"]["backbone"]["stem"]["Conv_0"]
+                   ["kernel"]))

@@ -43,14 +43,38 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0,
                    help="run VOC mAP eval every N steps (0 = off)")
     p.add_argument("--eval-batches", type=int, default=20)
+    p.add_argument("--pretrained", default=None,
+                   help="ImageNet backbone init (reference T5 semantics): a "
+                        "torchvision .pth/.pt state dict or a TF-slim "
+                        "resnet_v1_50 checkpoint prefix; heads keep their "
+                        "fresh init")
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
     mesh_lib.maybe_initialize_distributed()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
+    if args.pretrained and cfg.model.backbone != "resnet50":
+        raise SystemExit("--pretrained provides ResNet-50 ImageNet "
+                         f"weights; preset backbone is "
+                         f"{cfg.model.backbone!r}")
+
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(args.seed),
                                           dtype=dtype)
+
+    if args.pretrained:
+        from x_detector_tpu.utils.pretrained import load_pretrained_backbone
+        v = load_pretrained_backbone(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.pretrained,
+            stage_sizes=cfg.model.backbone_stages or (3, 4, 6, 3))
+        state = state.replace(
+            params=v["params"], batch_stats=v["batch_stats"],
+            # re-seed the EMA shadow so it tracks the grafted weights,
+            # not the discarded fresh init
+            ema_params=(jax.tree_util.tree_map(jnp.array, v["params"])
+                        if state.ema_params is not None else None))
+        print(f"grafted pretrained backbone from {args.pretrained}")
 
     mesh = None
     if args.num_devices and args.num_devices > 1:
