@@ -244,3 +244,32 @@ def test_prequantize_matches_in_graph_quantization():
         np.testing.assert_allclose(np.asarray(in_graph[k]),
                                    np.asarray(got[k]),
                                    rtol=1e-3, atol=1e-2, err_msg=k)
+
+
+def test_prequantize_guards():
+    """Double application and uncalibrated (zeros) collections both raise
+    instead of silently corrupting weights (round-4 self-review)."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3),
+                          jnp.float32)
+    kw = dict(widths=(16, 32, 48, 64), units_per_stage=(1, 1, 1, 1),
+              dtype=jnp.float32)
+    bb = XceptionLite(**kw)
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    cbb = XceptionLite(quant="calibrate", **kw)
+    _, mut = jax.jit(lambda v, xx: cbb.apply(v, xx, mutable=["quant"]))(
+        variables, x)
+
+    pre = quant.prequantize({**variables, **mut})
+    with pytest.raises(ValueError, match="already int8"):
+        quant.prequantize(pre)
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, mut["quant"])
+    with pytest.raises(ValueError, match="uncalibrated"):
+        quant.prequantize({**variables, "quant": zeros})
+
+    # and the family dispatch validates like trainer's
+    import dataclasses as dc
+    from x_detector_tpu.config import ssd_resnet50
+    bad = dc.replace(ssd_resnet50().model, family="sdd")
+    with pytest.raises(ValueError, match="unknown family"):
+        quant.build_detector(bad)

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from x_detector_tpu.utils.metrics_voc import VOCEvaluator, voc_ap
@@ -114,17 +115,16 @@ def test_duplicate_ground_truth_registration_ignored():
     np.testing.assert_allclose(res["mAP"], 1.0, rtol=1e-9)
 
 
-def test_duplicate_detections_registration_ignored():
-    """Mirror of the gt guard (round-4 review): re-adding an image's
-    detections must not double-count them as false positives."""
-    import warnings as w
+def test_duplicate_detections_registration_raises():
+    """Re-adding an image's detections would either double-count them as
+    false positives (if accumulated) or silently lose a per-class
+    registration loop's later classes (if ignored) — so it raises
+    (round-4 review, refined by the round-4 self-review)."""
     ev = VOCEvaluator(num_classes=2)
     gt_b = np.array([[0.1, 0.1, 0.5, 0.5]])
     ev.add_ground_truth("img0", gt_b, np.array([1]))
     ev.add_detections("img0", gt_b, np.array([0.9]), np.array([1]))
-    with w.catch_warnings(record=True) as rec:
-        w.simplefilter("always")
+    with pytest.raises(ValueError, match="already registered"):
         ev.add_detections("img0", gt_b, np.array([0.9]), np.array([1]))
-    assert any("duplicate detections" in str(r.message) for r in rec)
     res = ev.evaluate()
     np.testing.assert_allclose(res["mAP"], 1.0, rtol=1e-9)

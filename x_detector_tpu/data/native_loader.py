@@ -74,7 +74,12 @@ def _load_library(build_if_missing: bool = True):
                                      suffix=".so")
         os.close(fd)
         shutil.copy2(_SO_PATH, fresh)
-        lib = ctypes.CDLL(fresh)
+        try:
+            lib = ctypes.CDLL(fresh)
+        finally:
+            # the mapping stays valid after unlink (Linux); without this,
+            # every stale-ABI process leaks one temp .so
+            os.unlink(fresh)
         if lib.xdet_loader_abi_version() != _ABI_VERSION:
             raise ImportError(
                 "rebuilt libxdet_loader.so still reports ABI "

@@ -44,11 +44,15 @@ from x_detector_tpu.config import ExperimentConfig
 
 
 def build_detector(model_cfg, dtype: Any = jnp.bfloat16):
-    """Family-dispatch detector factory (the same switch trainer.py uses)."""
+    """Family-dispatch detector factory (same switch and same unknown-
+    family validation as trainer.create_model_and_state)."""
     from x_detector_tpu.models.lighthead import LightHeadRCNN
     from x_detector_tpu.models.ssd import SSDModel
-    cls = SSDModel if model_cfg.family == "ssd" else LightHeadRCNN
-    return cls(config=model_cfg, dtype=dtype)
+    if model_cfg.family == "ssd":
+        return SSDModel(config=model_cfg, dtype=dtype)
+    if model_cfg.family == "lighthead":
+        return LightHeadRCNN(config=model_cfg, dtype=dtype)
+    raise ValueError(f"unknown family {model_cfg.family!r}")
 
 
 def calibrate_backbone(cfg: ExperimentConfig, variables: dict,
@@ -118,6 +122,18 @@ def prequantize(variables: dict) -> dict:
             if isinstance(v, dict):
                 n += walk(v, pnode[k])
         if "act_amax" in qnode:
+            if jnp.asarray(pnode["kernel"]).dtype == jnp.int8:
+                # Re-quantizing int8 values would compute sw ~= 1.0 and
+                # overwrite the real w_scale — silent weight corruption.
+                raise ValueError("kernel is already int8: prequantize was "
+                                 "applied twice to this pytree")
+            amax = float(jnp.max(jnp.asarray(qnode["act_amax"])))
+            if not amax > 0.0:
+                raise ValueError(
+                    "act_amax is not positive: the 'quant' collection is "
+                    "uncalibrated (zeros init) — run calibrate_backbone "
+                    "over representative batches first; quantizing with a "
+                    "zero scale would saturate every activation to ±127")
             kernel = jnp.asarray(pnode["kernel"], jnp.float32)
             sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
                              1e-8) / 127.0

@@ -75,13 +75,20 @@ class DetectorContainer:
     requests to a bucket first, e.g. via ``bucketed_letterbox_batch``."""
 
     def __init__(self, directory: str):
+        import jax
         from flax import serialization
         from jax import export as jexport
         with open(os.path.join(directory, "meta.json")) as f:
             self.meta = json.load(f)
         self.buckets = self.meta["buckets"]
         with open(os.path.join(directory, "weights.msgpack"), "rb") as f:
-            self.weights = serialization.msgpack_restore(f.read())
+            restored = serialization.msgpack_restore(f.read())
+        # Upload ONCE: passing host numpy to .call would re-transfer the
+        # whole weights pytree (~44 MB for config 3) on every request,
+        # silently undoing the container's reason to exist (and int8
+        # prequantization's HBM rationale).  device_put here makes every
+        # detect() read device-resident weights.
+        self.weights = jax.device_put(restored)
         self._fns = {}
         for b in self.buckets:
             with open(os.path.join(directory,

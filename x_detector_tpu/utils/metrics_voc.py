@@ -99,13 +99,16 @@ class VOCEvaluator:
 
     def add_detections(self, image_id: str, boxes, scores, labels) -> None:
         if image_id in self._det_images:
-            # Mirror of add_ground_truth's guard: re-appending an image's
-            # detections double-counts them as false positives (each
-            # duplicate overlaps an already-matched gt), silently
-            # depressing precision.
-            warnings.warn(f"duplicate detections for image {image_id!r} "
-                          "ignored (already registered)")
-            return
+            # Re-appending an image's detections double-counts them as
+            # false positives (each duplicate overlaps an already-matched
+            # gt), silently depressing precision; but dropping a SECOND
+            # call would silently lose data from a per-class registration
+            # loop.  Neither silence is safe -> raise.  Pass every class's
+            # detections for an image in ONE call.
+            raise ValueError(
+                f"detections for image {image_id!r} already registered; "
+                "pass all of an image's detections (all classes) in one "
+                "add_detections call")
         self._det_images.add(image_id)
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         scores = np.asarray(scores, np.float32).reshape(-1)
