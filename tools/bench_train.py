@@ -56,6 +56,11 @@ def main():
                    help="pre-stage raw batches outside the timed loop "
                         "(config-4 contract: aug + train step; data "
                         "generation is the harness, not the step)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="grad_accum_steps: N sequential microbatches per "
+                        "optimizer update (measures the accumulation "
+                        "overhead vs the direct batch at equal global "
+                        "batch; peak HBM line shows the memory win)")
     args = p.parse_args()
 
     cfg = lighthead_xception(image_size=args.image_size)
@@ -65,7 +70,8 @@ def main():
             cfg.model, backbone_remat_stages=args.remat,
             backbone_quant="act8" if args.act8 else None),
         train=dataclasses.replace(cfg.train, batch_size=args.batch,
-                                  warmup_steps=0))
+                                  warmup_steps=0,
+                                  grad_accum_steps=args.grad_accum))
     model, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
                                           dtype=jnp.bfloat16)
     step_fn = make_train_step(model, cfg)
