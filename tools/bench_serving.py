@@ -53,10 +53,19 @@ def main():
     p.add_argument("--container", action="store_true",
                    help="also bench the shared-weights container path")
     p.add_argument("--quant", default="none", choices=("none", "int8"))
+    p.add_argument("--smoke", action="store_true",
+                   help="64px tiny-capacity config: validate the full "
+                        "export/container path on CPU in minutes; the "
+                        "numbers are NOT the judged surfaces")
     args = p.parse_args()
     batch_set = [int(b) for b in args.batches.split(",")]
 
     cfg = lighthead_xception(image_size=800)
+    if args.smoke:
+        global ITERS
+        ITERS = 3
+        from fast_nms_ab import smoke_shrink
+        cfg = smoke_shrink(cfg, "lighthead")
     size = cfg.model.image_size
     model = LightHeadRCNN(config=cfg.model, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
@@ -99,19 +108,29 @@ def main():
 
     cont = None
     if args.container:
+        cont_vars = variables
+        if args.quant == "int8":
+            # Match cli.export: the container passes weights as runtime
+            # arguments, so in-graph quantization cannot constant-fold —
+            # store real int8 kernels (quant.prequantize) like the CLI
+            # does, or every call re-reads + re-quantizes fp32 kernels.
+            from x_detector_tpu import quant as quant_lib
+            cont_vars = quant_lib.prequantize(variables)
+            print("prequantized container kernels to int8", flush=True)
+
         def serving_fn_v(v, images):
             det = lighthead_postprocess(
                 model.apply(v, images, train=False), cfg.model)
             return det.boxes, det.scores, det.classes, det.valid
         vspec = jax.tree_util.tree_map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), cont_vars)
         graphs = {}
         for b in batch_set:
             spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)
             graphs[b] = jexport.export(
                 jax.jit(serving_fn_v))(vspec, spec).serialize()
         cdir = os.path.join(outdir, "container")
-        serving.save_container(cdir, variables, graphs,
+        serving.save_container(cdir, cont_vars, graphs,
                                meta={"image_size": size})
         cont = serving.load_container(cdir)
         wsize = os.path.getsize(os.path.join(cdir, "weights.msgpack"))

@@ -211,7 +211,9 @@ class TrainConfig:
     # update.  Numerically matches N-way data parallelism with the same
     # per-device batch (grads pmean'd, BN stats pmean'd from the
     # step-initial running stats) — lets one chip emulate a config-5
-    # global batch at 1/N the activation memory.
+    # global batch at 1/N the activation memory.  Priced on-chip
+    # (DESIGN §22): ~2.1x step time at N=4 for ~1.9x lower peak HBM —
+    # scale with DP first; accumulate only past the HBM ceiling.
     grad_accum_steps: int = 1
     checkpoint_every: int = 1000
     keep_checkpoints: int = 5
