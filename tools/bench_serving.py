@@ -1,6 +1,8 @@
 """Serving-artifact benchmark over an export batch set {1, 4, 8, 16}.
 
-Round-trips BASELINE config 3 through ``jax.export`` (serialize ->
+Round-trips a judged preset — ``--family lighthead`` = BASELINE config 3
+(Xception, 800px), ``--family ssd`` = BASELINE config 2 (ResNet-50,
+512px, the int8 ship target) — through ``jax.export`` (serialize ->
 deserialize via x_detector_tpu.serving, no model code on the consumer
 side) at each batch shape and measures, per shape:
 
@@ -44,12 +46,17 @@ ITERS = 12
 
 def main():
     from x_detector_tpu import serving
-    from x_detector_tpu.config import lighthead_xception
-    from x_detector_tpu.models.lighthead import (LightHeadRCNN,
-                                                 lighthead_postprocess)
+    from x_detector_tpu.cli.evaluate import build_eval_fn
+    from x_detector_tpu.config import lighthead_xception, ssd_resnet50
+    from x_detector_tpu.quant import build_detector
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batches", default="1,4,8,16")
+    p.add_argument("--family", default="lighthead",
+                   choices=("lighthead", "ssd"),
+                   help="lighthead = BASELINE config 3 (Xception, 800px); "
+                        "ssd = BASELINE config 2 (ResNet-50, 512px — the "
+                        "int8 ship target)")
     p.add_argument("--container", action="store_true",
                    help="also bench the shared-weights container path")
     p.add_argument("--quant", default="none", choices=("none", "int8"))
@@ -60,14 +67,15 @@ def main():
     args = p.parse_args()
     batch_set = [int(b) for b in args.batches.split(",")]
 
-    cfg = lighthead_xception(image_size=800)
+    cfg = (lighthead_xception(image_size=800) if args.family == "lighthead"
+           else ssd_resnet50(image_size=512))
     if args.smoke:
         global ITERS
         ITERS = 3
         from fast_nms_ab import smoke_shrink
-        cfg = smoke_shrink(cfg, "lighthead")
+        cfg = smoke_shrink(cfg, args.family)
     size = cfg.model.image_size
-    model = LightHeadRCNN(config=cfg.model, dtype=jnp.bfloat16)
+    model = build_detector(cfg.model, jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
 
@@ -82,15 +90,15 @@ def main():
         qv = quant_lib.calibrate_backbone(cfg, variables, calib)
         variables = dict(variables, quant=qv)
         mcfg = dataclasses.replace(cfg.model, backbone_quant="int8")
-        model = quant_lib.build_detector(mcfg, jnp.bfloat16)
+        model = build_detector(mcfg, jnp.bfloat16)
         cfg = dataclasses.replace(cfg, model=mcfg)
         print("int8 backbone (throughput-only: random weights/calib)",
               flush=True)
 
+    eval_fn = build_eval_fn(model, cfg)          # (variables, images) -> det
+
     def serving_fn(images):
-        det = lighthead_postprocess(
-            model.apply(variables, images, train=False), cfg.model)
-        return det.boxes, det.scores, det.classes, det.valid
+        return eval_fn(variables, images)
 
     from jax import export as jexport
     outdir = tempfile.mkdtemp()
@@ -119,9 +127,7 @@ def main():
             print("prequantized container kernels to int8", flush=True)
 
         def serving_fn_v(v, images):
-            det = lighthead_postprocess(
-                model.apply(v, images, train=False), cfg.model)
-            return det.boxes, det.scores, det.classes, det.valid
+            return eval_fn(v, images)
         vspec = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), cont_vars)
         graphs = {}
