@@ -141,17 +141,23 @@ def test_shared_weights_container_roundtrip(tmp_path):
     vspec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
 
-    graphs = {}
-    for b in (1, 2):
-        spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)
-        graphs[b] = jexport.export(
-            jax.jit(lambda v, x: eval_fn(v, x)))(vspec, spec).serialize()
+    # Hybrid split (DESIGN §16): bucket 1 baked (weights embedded — full
+    # batch-1 speed), bucket 2 shared (weights as runtime argument).
+    spec1 = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
+    spec2 = jax.ShapeDtypeStruct((2, size, size, 3), jnp.float32)
+    graphs = {
+        1: jexport.export(
+            jax.jit(lambda x: eval_fn(variables, x)))(spec1).serialize(),
+        2: jexport.export(
+            jax.jit(lambda v, x: eval_fn(v, x)))(vspec, spec2).serialize(),
+    }
     d = str(tmp_path / "container")
-    serving.save_container(d, variables, graphs,
+    serving.save_container(d, variables, graphs, baked={1},
                            meta={"image_size": size, "raw_rgb": False})
 
     cont = serving.load_container(d)
     assert cont.buckets == [1, 2]
+    assert cont.baked == {1}
     images = np.asarray(get_batch(cfg)["image"], np.float32)
     rb, rs, rc, rv = map(np.asarray, cont.detect(images))
     lb, ls, lc, lv = map(np.asarray, eval_fn(variables, images))

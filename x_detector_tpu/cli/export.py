@@ -67,6 +67,12 @@ def main(argv=None):
                         "serving.load_container")
     p.add_argument("--batches", default="1,4,8,16",
                    help="bucket batch sizes for --container")
+    p.add_argument("--bake-batches", default="1",
+                   help="container buckets whose graphs embed the weights "
+                        "as constants instead of sharing weights.msgpack "
+                        "(DESIGN §16: runtime-arg weights cost 0.60x at "
+                        "batch 1, parity at batch >= 4 — baking {1} is the "
+                        "measured default; '' bakes none)")
     args = p.parse_args(argv)
 
     cfg = common.resolve_config(args)
@@ -162,13 +168,18 @@ def main(argv=None):
     if args.container:
         from x_detector_tpu import serving
         batches = [int(b) for b in args.batches.split(",")]
+        bake = {int(b) for b in args.bake_batches.split(",") if b.strip()}
+        bake &= set(batches)
         graphs, descs = {}, []
         for b in batches:
-            graphs[b], d = export_one(b, weights_as_arg=True)
-            descs.append(d)
+            # Baked buckets embed the weights (big graph, full batch-1
+            # speed); the rest take them as a runtime argument and share
+            # weights.msgpack (DESIGN §16 measured split).
+            graphs[b], d = export_one(b, weights_as_arg=b not in bake)
+            descs.append(d + (" [baked]" if b in bake else ""))
         desc = "; ".join(descs)
         serving.save_container(
-            args.output, variables, graphs,
+            args.output, variables, graphs, baked=bake,
             meta={"preset": cfg.model.name, "image_size": size,
                   "letterbox": bool(args.raw_rgb and cfg.data.letterbox),
                   "raw_rgb": bool(args.raw_rgb), "quant": args.quant})

@@ -43,17 +43,27 @@ def load(path: str):
 # with the weights pytree as an ARGUMENT, and stores the weights once:
 #
 #   container/
-#     meta.json            {"buckets": [...], "image_size": N, ...}
+#     meta.json            {"buckets": [...], "baked": [...], ...}
 #     weights.msgpack      flax msgpack of the variables pytree (fp32)
 #     graph-b{B}.stablehlo jax.export artifact taking (weights, images[,
 #                          box_scale]) — a few hundred KB each
+#
+# Measured refinement (DESIGN §16): weights-as-runtime-argument graphs run
+# at 0.94–1.03x baked throughput for batch >= 4, but batch 1 pays 0.60x
+# (XLA cannot constant-fold runtime weights, and at batch 1 the folded
+# constants matter).  A container can therefore BAKE selected buckets:
+# those graphs embed the weights (big blob, full speed) while the rest
+# share weights.msgpack.  The recommended split — bake {1}, share the rest
+# — costs one extra weights copy and removes the only measured regression.
 # ---------------------------------------------------------------------------
 
 def save_container(directory: str, variables, graphs: dict,
-                   meta: dict) -> None:
+                   meta: dict, baked=()) -> None:
     """Write the shared-weights layout.  ``graphs`` maps batch -> serialized
-    jax.export bytes (each graph takes the weights pytree as its first
-    argument); ``variables`` is the pytree those graphs expect."""
+    jax.export bytes; buckets listed in ``baked`` embed the weights as
+    constants (their graphs take images only), every other graph takes the
+    weights pytree as its first argument; ``variables`` is the pytree the
+    shared graphs expect."""
     import jax
     from flax import serialization
     os.makedirs(directory, exist_ok=True)
@@ -65,7 +75,8 @@ def save_container(directory: str, variables, graphs: dict,
                   "wb") as f:
             f.write(blob)
     with open(os.path.join(directory, "meta.json"), "w") as f:
-        json.dump(dict(meta, buckets=sorted(graphs)), f)
+        json.dump(dict(meta, buckets=sorted(graphs),
+                       baked=sorted(baked)), f)
 
 
 class DetectorContainer:
@@ -81,6 +92,7 @@ class DetectorContainer:
         with open(os.path.join(directory, "meta.json")) as f:
             self.meta = json.load(f)
         self.buckets = self.meta["buckets"]
+        self.baked = set(self.meta.get("baked", []))
         with open(os.path.join(directory, "weights.msgpack"), "rb") as f:
             restored = serialization.msgpack_restore(f.read())
         # Upload ONCE: passing host numpy to .call would re-transfer the
@@ -101,6 +113,8 @@ class DetectorContainer:
             raise ValueError(f"no graph for batch {b}; buckets "
                              f"{self.buckets} (pad via "
                              "bucketed_letterbox_batch first)")
+        if b in self.baked:                 # weights embedded as constants
+            return self._fns[b].call(images, *extra)
         return self._fns[b].call(self.weights, images, *extra)
 
 
