@@ -1,5 +1,8 @@
 """jax.export serving artifact: serialize -> reload -> functional parity."""
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,6 +173,21 @@ def test_shared_weights_container_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="no graph for batch"):
         cont.detect(np.zeros((3, size, size, 3), np.float32))
 
+    # Legacy containers (written before the hybrid-bake option) have no
+    # "baked" key in meta.json: they must reload with every bucket shared.
+    meta_path = os.path.join(d, "meta.json")
+    with open(meta_path) as f:
+        legacy_meta = json.load(f)
+    legacy_meta.pop("baked")
+    with open(meta_path, "w") as f:
+        json.dump(legacy_meta, f)
+    legacy = serving.load_container(d)
+    assert legacy.baked == set()
+    lb2 = np.asarray(legacy.detect(images)[0])   # bucket 2 is shared
+    np.testing.assert_allclose(lb2, lb, atol=1e-3)
+    with open(meta_path, "w") as f:              # restore for checks below
+        json.dump(dict(legacy_meta, baked=[1]), f)
+
     # Size law: a weights-as-arg graph strictly beats the baked artifact of
     # the same bucket (which embeds the weights as constants), and the
     # container stores the weights exactly once.
@@ -177,7 +195,6 @@ def test_shared_weights_container_roundtrip(tmp_path):
     baked = jexport.export(
         jax.jit(lambda x: eval_fn(variables, x)))(spec2).serialize()
     assert len(graphs[2]) < len(baked)
-    import os
     wbytes = os.path.getsize(os.path.join(d, "weights.msgpack"))
     nparams = sum(np.asarray(a).nbytes
                   for a in jax.tree_util.tree_leaves(variables))
