@@ -62,3 +62,15 @@ def test_train_then_container_export_cli(tmp_path, monkeypatch):
     predict_cli.main(["--artifact", raw_out, "--input", png,
                       "--output", vis, "--score-threshold", "0.0"])
     assert Image.open(vis).size == (70, 90)
+
+
+def test_export_bake_bucket_must_be_in_batches():
+    """An explicit --bake-batches bucket missing from --batches must fail
+    fast (argparse error) rather than be silently dropped — the same
+    no-silent-config-fallback contract as fast-NMS."""
+    from x_detector_tpu.cli import export as export_cli
+
+    with pytest.raises(SystemExit):
+        export_cli.main(["--preset", "ssd_resnet50", "--model-dir", "/dev/null",
+                         "--output", "/dev/null", "--container",
+                         "--batches", "1,2", "--bake-batches", "4"])

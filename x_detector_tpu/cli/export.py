@@ -67,13 +67,26 @@ def main(argv=None):
                         "serving.load_container")
     p.add_argument("--batches", default="1,4,8,16",
                    help="bucket batch sizes for --container")
-    p.add_argument("--bake-batches", default="1",
+    p.add_argument("--bake-batches", default=None,
                    help="container buckets whose graphs embed the weights "
                         "as constants instead of sharing weights.msgpack "
                         "(DESIGN §16: runtime-arg weights cost 0.60x at "
-                        "batch 1, parity at batch >= 4 — baking {1} is the "
-                        "measured default; '' bakes none)")
+                        "batch 1, parity at batch >= 4 — default bakes "
+                        "bucket 1 when present; '' bakes none; an explicit "
+                        "bucket missing from --batches is an error)")
     args = p.parse_args(argv)
+
+    batches = [int(b) for b in args.batches.split(",")]
+    if args.bake_batches is None:
+        bake = {1} & set(batches)       # measured default: bake batch 1
+    else:
+        bake = {int(b) for b in args.bake_batches.split(",") if b.strip()}
+        missing = bake - set(batches)
+        if missing:
+            # A silently dropped bake request would misreport batch-1
+            # latency exactly the way a silent fast-NMS fallback would.
+            p.error(f"--bake-batches {sorted(missing)} not in "
+                    f"--batches {batches}")
 
     cfg = common.resolve_config(args)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -167,9 +180,6 @@ def main(argv=None):
 
     if args.container:
         from x_detector_tpu import serving
-        batches = [int(b) for b in args.batches.split(",")]
-        bake = {int(b) for b in args.bake_batches.split(",") if b.strip()}
-        bake &= set(batches)
         graphs, descs = {}, []
         for b in batches:
             # Baked buckets embed the weights (big graph, full batch-1
