@@ -64,6 +64,66 @@ def test_train_then_container_export_cli(tmp_path, monkeypatch):
     assert Image.open(vis).size == (70, 90)
 
 
+def test_container_int8_export_cli_quick(tmp_path):
+    """QUICK-tier cover for the int8-container CLI path (round-4 escape:
+    the final commit shadowed the bucket list with the calibration
+    generator and shipped zero-graph containers; every covering test was
+    slow-marked so the quick tier stayed green).  No training — random
+    init export exercises the same parse/calibrate/export/save path in
+    ~20s on tiny shapes."""
+    from flax import serialization
+
+    from x_detector_tpu import serving
+    from x_detector_tpu.cli import export as export_cli
+
+    out = str(tmp_path / "container")
+    export_cli.main([
+        "--preset", "ssd_resnet50", "--image-size", "64",
+        "--backbone-stages", "1,1,1,1", "--backbone-widths", "16,32,48,64",
+        "--model-dir", str(tmp_path / "nockpt"), "--dtype", "float32",
+        "--output", out, "--container", "--batches", "1,2",
+        "--quant", "int8", "--calib-batches", "1", "--calib-batch-size", "2",
+    ])
+
+    cont = serving.load_container(out)
+    assert cont.buckets == [1, 2], "container must hold every --batches bucket"
+    assert cont.meta["quant"] == "int8"
+
+    # the stored pytree must carry REAL int8 kernels (quant.prequantize),
+    # not fp32 the graphs would re-quantize on every call
+    with open(f"{out}/weights.msgpack", "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    int8_leaves = [a for a in jax.tree_util.tree_leaves(tree)
+                   if hasattr(a, "dtype") and a.dtype == np.int8]
+    assert int8_leaves, "prequantized container must store int8 kernels"
+
+    images = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32, maxval=255.0))
+    boxes, _, _, _ = map(np.asarray, cont.detect(images))
+    assert boxes.shape[0] == 2 and np.isfinite(boxes).all()
+
+
+def test_save_container_rejects_empty_graphs(tmp_path):
+    """A container with no graphs must fail at write time (serving.py
+    guard), not at the consumer's first detect()."""
+    from x_detector_tpu import serving
+
+    with pytest.raises(ValueError, match="no graphs"):
+        serving.save_container(str(tmp_path / "c"), {"params": {}}, {},
+                               meta={})
+
+
+def test_export_bake_batches_requires_container():
+    """--bake-batches without --container is a config no-op the CLI must
+    reject (advisor r4), mirroring the missing-bucket fail-fast."""
+    from x_detector_tpu.cli import export as export_cli
+
+    with pytest.raises(SystemExit):
+        export_cli.main(["--preset", "ssd_resnet50", "--model-dir",
+                         "/dev/null", "--output", "/dev/null",
+                         "--bake-batches", "1"])
+
+
 def test_export_bake_bucket_must_be_in_batches():
     """An explicit --bake-batches bucket missing from --batches must fail
     fast (argparse error) rather than be silently dropped — the same

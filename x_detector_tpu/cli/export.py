@@ -57,9 +57,16 @@ def main(argv=None):
                         "runtime argument), calibrated static activation "
                         "scales; heads/NMS stay bf16/fp32")
     p.add_argument("--calib-batches", type=int, default=8,
-                   help="calibration batches for --quant int8 (synthetic "
-                        "eval-preprocessed images; swap in real data by "
-                        "calling quant.calibrate_backbone directly)")
+                   help="calibration batches for --quant int8; with "
+                        "--data-dir they come from the real eval TFRecords "
+                        "(the distribution the model will serve), otherwise "
+                        "synthetic eval-preprocessed images")
+    p.add_argument("--calib-batch-size", type=int, default=None,
+                   help="batch size of each calibration batch (default: "
+                        "--batch). Activation amax barely varies with batch "
+                        "size, but making the knob explicit keeps the "
+                        "calibration sample count = batches x batch-size "
+                        "unambiguous")
     p.add_argument("--container", action="store_true",
                    help="write a shared-weights batch-set container to "
                         "--output (a directory): weights stored ONCE + one "
@@ -76,17 +83,25 @@ def main(argv=None):
                         "bucket missing from --batches is an error)")
     args = p.parse_args(argv)
 
-    batches = [int(b) for b in args.batches.split(",")]
+    # Bucket list for --container.  Named bucket_batches (NOT `batches`):
+    # round 4 shipped with this very name shadowed by the int8 calibration
+    # generator below, silently writing zero-graph containers.
+    bucket_batches = [int(b) for b in args.batches.split(",")]
+    if args.bake_batches is not None and not args.container:
+        # --bake-batches only means something for --container; silently
+        # ignoring it would be exactly the no-silent-config-fallback
+        # violation the flag's own validation exists to prevent.
+        p.error("--bake-batches requires --container")
     if args.bake_batches is None:
-        bake = {1} & set(batches)       # measured default: bake batch 1
+        bake = {1} & set(bucket_batches)  # measured default: bake batch 1
     else:
         bake = {int(b) for b in args.bake_batches.split(",") if b.strip()}
-        missing = bake - set(batches)
+        missing = bake - set(bucket_batches)
         if missing:
             # A silently dropped bake request would misreport batch-1
             # latency exactly the way a silent fast-NMS fallback would.
             p.error(f"--bake-batches {sorted(missing)} not in "
-                    f"--batches {batches}")
+                    f"--batches {bucket_batches}")
 
     cfg = common.resolve_config(args)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -108,19 +123,44 @@ def main(argv=None):
         import dataclasses
 
         from x_detector_tpu import quant as quant_lib
-        from x_detector_tpu.data.synthetic import synthetic_batch_device
-        gen = jax.jit(lambda k: synthetic_batch_device(
-            k, args.batch, size, cfg.data.max_gt_boxes)["image"])
+        calib_bs = args.calib_batch_size or args.batch
         pre = jax.jit(jax.vmap(lambda im: preprocess_for_eval(im, cfg.data)))
-        batches = (pre(gen(jax.random.PRNGKey(10_000 + i)))
-                   for i in range(args.calib_batches))
-        qv = quant_lib.calibrate_backbone(cfg, variables, batches,
+        if args.data_dir:
+            # Calibrate on the REAL serving distribution: a model quantized
+            # against synthetic ranges but deployed on natural images is the
+            # classic PTQ failure mode (VERDICT r4 item 3).
+            calib_cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+                cfg.train, batch_size=calib_bs))
+            it = common.batch_iterator(args, calib_cfg, training=False)
+
+            def real_calib_batches():
+                for i in range(args.calib_batches):
+                    try:
+                        raw = next(it)
+                    except StopIteration:
+                        if i == 0:
+                            raise ValueError(
+                                f"no calibration data in {args.data_dir}")
+                        return
+                    yield pre(jnp.asarray(raw["image"], jnp.float32))
+            calib_images = real_calib_batches()
+            calib_src = (f"{args.calib_batches} real batches (batch "
+                         f"{calib_bs}) from {args.data_dir}")
+        else:
+            from x_detector_tpu.data.synthetic import synthetic_batch_device
+            gen = jax.jit(lambda k: synthetic_batch_device(
+                k, calib_bs, size, cfg.data.max_gt_boxes)["image"])
+            calib_images = (pre(gen(jax.random.PRNGKey(10_000 + i)))
+                            for i in range(args.calib_batches))
+            calib_src = (f"{args.calib_batches} synthetic batches (batch "
+                         f"{calib_bs})")
+        qv = quant_lib.calibrate_backbone(cfg, variables, calib_images,
                                           dtype=dtype)
         variables = dict(variables, quant=qv)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, backbone_quant="int8"))
         model = quant_lib.build_detector(cfg.model, dtype)
-        print(f"calibrated int8 backbone on {args.calib_batches} batches")
+        print(f"calibrated int8 backbone on {calib_src}")
         if args.container:
             # Container graphs take the weights as a runtime argument, so
             # in-graph quantization cannot constant-fold; store REAL int8
@@ -181,13 +221,18 @@ def main(argv=None):
     if args.container:
         from x_detector_tpu import serving
         graphs, descs = {}, []
-        for b in batches:
+        for b in bucket_batches:
             # Baked buckets embed the weights (big graph, full batch-1
             # speed); the rest take them as a runtime argument and share
             # weights.msgpack (DESIGN §16 measured split).
             graphs[b], d = export_one(b, weights_as_arg=b not in bake)
             descs.append(d + (" [baked]" if b in bake else ""))
         desc = "; ".join(descs)
+        # Belt and braces with save_container's own empty-graphs guard:
+        # a container missing any requested bucket must never be written
+        # (round 4's final commit wrote a 0-graph container exactly here).
+        assert sorted(graphs) == sorted(bucket_batches), \
+            f"exported buckets {sorted(graphs)} != requested {bucket_batches}"
         serving.save_container(
             args.output, variables, graphs, baked=bake,
             meta={"preset": cfg.model.name, "image_size": size,

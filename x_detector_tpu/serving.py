@@ -66,6 +66,12 @@ def save_container(directory: str, variables, graphs: dict,
     shared graphs expect."""
     import jax
     from flax import serialization
+    if not graphs:
+        # Round 4 shipped a CLI bug that reached here with an exhausted
+        # generator upstream; a container with no graphs cannot serve
+        # anything and must fail at WRITE time, not at first detect().
+        raise ValueError("save_container called with no graphs: a container "
+                         "needs at least one bucket")
     os.makedirs(directory, exist_ok=True)
     with open(os.path.join(directory, "weights.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(
@@ -93,14 +99,20 @@ class DetectorContainer:
             self.meta = json.load(f)
         self.buckets = self.meta["buckets"]
         self.baked = set(self.meta.get("baked", []))
-        with open(os.path.join(directory, "weights.msgpack"), "rb") as f:
-            restored = serialization.msgpack_restore(f.read())
-        # Upload ONCE: passing host numpy to .call would re-transfer the
-        # whole weights pytree (~44 MB for config 3) on every request,
-        # silently undoing the container's reason to exist (and int8
-        # prequantization's HBM rationale).  device_put here makes every
-        # detect() read device-resident weights.
-        self.weights = jax.device_put(restored)
+        if set(self.buckets) <= self.baked:
+            # Every graph embeds its own weights; restoring + device_put'ing
+            # weights.msgpack would pin ~44 MB of HBM (config 3) that
+            # detect() never reads (advisor r4).
+            self.weights = None
+        else:
+            with open(os.path.join(directory, "weights.msgpack"), "rb") as f:
+                restored = serialization.msgpack_restore(f.read())
+            # Upload ONCE: passing host numpy to .call would re-transfer the
+            # whole weights pytree (~44 MB for config 3) on every request,
+            # silently undoing the container's reason to exist (and int8
+            # prequantization's HBM rationale).  device_put here makes every
+            # detect() read device-resident weights.
+            self.weights = jax.device_put(restored)
         self._fns = {}
         for b in self.buckets:
             with open(os.path.join(directory,
