@@ -219,6 +219,27 @@ def _log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _simulation_authorized(mode: str) -> bool:
+    """True iff the PARENT's own environment explicitly opts into simulated
+    payloads for ``mode``: the matching ``ok-{mode}`` token in
+    XDET_BENCH_SIMULATE *and* XDET_BENCH_SIMULATE_CONFIRM=1.  A single stray
+    env var therefore cannot make a simulated child line pass as a real
+    measurement (round-4 verdict, weak #5); the harness tests set both."""
+    return (os.environ.get("XDET_BENCH_SIMULATE_CONFIRM") == "1"
+            and f"ok-{mode}" in _simulate_tokens())
+
+
+def _reject_leaked_simulation(rec: dict) -> bool:
+    """Refuse a payload that self-reports as simulated without the parent's
+    double opt-in; marks the attempt failed and returns True if rejected."""
+    if rec.get("payload", {}).get("simulated") and \
+            not _simulation_authorized(rec["mode"]):
+        rec["status"] = "simulated_leak"
+        rec.pop("line", None)
+        return True
+    return False
+
+
 def main():
     evidence = []
 
@@ -229,6 +250,10 @@ def main():
              f"(deadline {PREFLIGHT_DEADLINE:.0f}s)")
         rec = _run_child("preflight", attempt, PREFLIGHT_DEADLINE)
         evidence.append(rec)
+        if _reject_leaked_simulation(rec):
+            _log(f"[bench] preflight attempt {attempt} rejected: simulated "
+                 "payload without XDET_BENCH_SIMULATE_CONFIRM")
+            continue
         if rec["status"] == "ok" and rec.get("payload", {}).get("preflight") == "ok":
             preflight_ok = True
             _log(f"[bench] preflight ok in {rec['seconds']}s")
@@ -253,6 +278,10 @@ def main():
              f"(deadline {MEASURE_DEADLINE:.0f}s)")
         rec = _run_child("measure", attempt, MEASURE_DEADLINE)
         evidence.append(rec)
+        if _reject_leaked_simulation(rec):
+            _log(f"[bench] measure attempt {attempt} rejected: simulated "
+                 "payload without XDET_BENCH_SIMULATE_CONFIRM")
+            continue
         if rec["status"] == "ok" and "metric" in rec.get("payload", {}):
             print(rec["line"])
             return

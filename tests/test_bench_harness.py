@@ -20,7 +20,7 @@ BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 # PJRT plugin) to ~0.04 s — simulated children never touch jax, so the
 # deadlines can be tight and the wedge-kill paths run in seconds.
 def _run_bench(simulate, attempts=3, preflight_deadline=3.0,
-               measure_deadline=3.0, timeout=120):
+               measure_deadline=3.0, timeout=120, confirm=True):
     env = dict(
         os.environ,
         PALLAS_AXON_POOL_IPS="",
@@ -29,6 +29,11 @@ def _run_bench(simulate, attempts=3, preflight_deadline=3.0,
         XDET_BENCH_PREFLIGHT_DEADLINE=str(preflight_deadline),
         XDET_BENCH_MEASURE_DEADLINE=str(measure_deadline),
     )
+    if confirm:
+        # double opt-in: without this, the parent refuses simulated payloads
+        env["XDET_BENCH_SIMULATE_CONFIRM"] = "1"
+    else:
+        env.pop("XDET_BENCH_SIMULATE_CONFIRM", None)
     return subprocess.run([sys.executable, BENCH], capture_output=True,
                           text=True, env=env, timeout=timeout)
 
@@ -89,6 +94,21 @@ def test_measurement_outage_after_good_preflight():
     assert "preflight passed" in payload["detail"]
     modes = [a["mode"] for a in payload["attempts"]]
     assert modes == ["preflight", "measure", "measure", "measure"]
+
+
+def test_leaked_simulate_var_cannot_produce_green_artifact():
+    # A stray XDET_BENCH_SIMULATE=ok-... in the environment (without the
+    # XDET_BENCH_SIMULATE_CONFIRM=1 double opt-in) must NOT yield a
+    # green-looking measurement: the parent refuses the simulated payload
+    # and the artifact reports tpu_unavailable with the rejection recorded.
+    res = _run_bench("ok-preflight,ok-measure", confirm=False,
+                     preflight_deadline=30.0)
+    assert res.returncode == 1
+    payload = _last_json_line(res.stdout)
+    assert payload["status"] == "tpu_unavailable"
+    assert payload["value"] is None
+    assert any(a["status"] == "simulated_leak" for a in payload["attempts"])
+    assert "rejected: simulated payload" in res.stderr
 
 
 def test_child_crash_is_retried_and_recorded():
