@@ -57,6 +57,53 @@ def test_calibrate_mode_matches_bf16_and_records_amax():
     assert float(jax.tree_util.tree_leaves(mut2["quant"])[0]) == amax
 
 
+def test_percentile_calibration_ignores_outliers():
+    """'calibrate:p99' records the tail-clipped statistic: one injected hot
+    pixel must dominate the amax scale but barely move the percentile one
+    (round-4 verdict item 3 — the outlier-robust calibration option)."""
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 8),
+                           jnp.float32)                    # |x| <= 1
+    x = x.at[0, 3, 4, 2].set(1000.0)                       # hot pixel
+    mod = ConvBN(12, (3, 3))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(variables, x)
+
+    qmod = dataclasses.replace(mod, quant="calibrate")
+    out_a, mut_a = qmod.apply(variables, x, mutable=["quant"])
+    amax = float(jax.tree_util.tree_leaves(mut_a["quant"])[0])
+    assert amax == 1000.0
+
+    pmod = dataclasses.replace(mod, quant="calibrate:p99")
+    out_p, mut_p = pmod.apply(variables, x, mutable=["quant"])
+    p99 = float(jax.tree_util.tree_leaves(mut_p["quant"])[0])
+    assert p99 <= 1.0, p99          # the hot pixel is beyond the 99th pct
+    assert p99 > 0.5, p99           # ...but the statistic is still a scale
+    # both calibrate modes keep the production bf16 math byte-identical
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_a))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_p))
+    # running max across batches applies to the percentile statistic too
+    _, mut2 = pmod.apply({**variables, **mut_p}, x * 0.1, mutable=["quant"])
+    assert float(jax.tree_util.tree_leaves(mut2["quant"])[0]) == p99
+
+    # calibrate_backbone threads the percentile through to every backbone
+    # conv: with a hot pixel in the calibration batch, the percentile
+    # scales must sit strictly below the amax ones at the input conv
+    from test_train import get_batch, small_ssd_cfg
+    from x_detector_tpu.train.trainer import create_model_and_state
+    cfg = small_ssd_cfg()
+    _, state = create_model_and_state(cfg, jax.random.PRNGKey(0),
+                                      dtype=jnp.float32)
+    tvars = {"params": state.params, "batch_stats": state.batch_stats}
+    imgs = get_batch(cfg)["image"].at[0, 1, 1, :].set(1e4)
+    qv_amax = quant.calibrate_backbone(cfg, tvars, [imgs],
+                                       dtype=jnp.float32)
+    qv_pct = quant.calibrate_backbone(cfg, tvars, [imgs],
+                                      dtype=jnp.float32, percentile=99.0)
+    top_a = max(float(v) for v in jax.tree_util.tree_leaves(qv_amax))
+    top_p = max(float(v) for v in jax.tree_util.tree_leaves(qv_pct))
+    assert top_p < top_a / 10, (top_p, top_a)
+
+
 def test_int8_conv_tracks_bf16_within_quant_error():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 32),
                           jnp.float32)

@@ -67,6 +67,12 @@ def main(argv=None):
                         "size, but making the knob explicit keeps the "
                         "calibration sample count = batches x batch-size "
                         "unambiguous")
+    p.add_argument("--calib-percentile", type=float, default=100.0,
+                   help="activation-scale statistic for --quant int8: 100 "
+                        "(default) = running abs-max; e.g. 99.9 = running "
+                        "max of per-batch 99.9th-percentile |x| — the "
+                        "outlier-robust choice for heavy-tailed real images "
+                        "(tools/calib_sensitivity.py measures the tradeoff)")
     p.add_argument("--container", action="store_true",
                    help="write a shared-weights batch-set container to "
                         "--output (a directory): weights stored ONCE + one "
@@ -155,12 +161,15 @@ def main(argv=None):
             calib_src = (f"{args.calib_batches} synthetic batches (batch "
                          f"{calib_bs})")
         qv = quant_lib.calibrate_backbone(cfg, variables, calib_images,
-                                          dtype=dtype)
+                                          dtype=dtype,
+                                          percentile=args.calib_percentile)
         variables = dict(variables, quant=qv)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, backbone_quant="int8"))
         model = quant_lib.build_detector(cfg.model, dtype)
-        print(f"calibrated int8 backbone on {calib_src}")
+        stat = ("amax" if args.calib_percentile >= 100.0
+                else f"p{args.calib_percentile}")
+        print(f"calibrated int8 backbone ({stat}) on {calib_src}")
         if args.container:
             # Container graphs take the weights as a runtime argument, so
             # in-graph quantization cannot constant-fold; store REAL int8

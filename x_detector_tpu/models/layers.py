@@ -121,10 +121,32 @@ class QuantConv(nn.Module):
             return y
         amax = self.variable("quant", "act_amax",
                              lambda: jnp.zeros((), jnp.float32))
-        if self.mode == "calibrate":
+        if self.mode == "calibrate" or self.mode.startswith("calibrate:p"):
+            # "calibrate"        running abs-max (the default statistic)
+            # "calibrate:p99.9"  running max of per-batch 99.9th-percentile
+            #                    |x| — clips the scale below rare outliers
+            #                    (one hot pixel through a high-gain conv
+            #                    would otherwise set the whole tensor's
+            #                    scale; saturating the 0.1% tail costs far
+            #                    less resolution than stretching the grid
+            #                    over it).  Estimated on a deterministic
+            #                    <=2^20-element strided subsample: a full
+            #                    sort of an 82M-element activation is
+            #                    offline-tolerable but pointless when the
+            #                    tail estimate converges at ~1k tail
+            #                    samples.
             if not self.is_initializing():
-                amax.value = jnp.maximum(
-                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                absx = jnp.abs(x.astype(jnp.float32)).ravel()
+                if self.mode == "calibrate":
+                    obs = jnp.max(absx)
+                else:
+                    pct = float(self.mode.split(":p", 1)[1])
+                    cap = 1 << 20
+                    if absx.size > cap:
+                        stride = absx.size // cap
+                        absx = absx[:stride * cap:stride]
+                    obs = jnp.percentile(absx, pct)
+                amax.value = jnp.maximum(amax.value, obs)
             y = lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.strides, self.padding,

@@ -57,15 +57,25 @@ def build_detector(model_cfg, dtype: Any = jnp.bfloat16):
 
 def calibrate_backbone(cfg: ExperimentConfig, variables: dict,
                        batches: Iterable[jnp.ndarray],
-                       dtype: Any = jnp.bfloat16) -> dict:
+                       dtype: Any = jnp.bfloat16,
+                       percentile: float = 100.0) -> dict:
     """Collect static activation ranges for every backbone conv.
 
     ``variables`` is the trained {"params", "batch_stats"} pytree;
     ``batches`` yields eval-preprocessed image batches [B, S, S, 3].
     Returns the ``quant`` collection (running max over all batches) to pass
     alongside the params when applying an ``backbone_quant="int8"`` model.
+
+    ``percentile`` < 100 swaps the per-batch statistic from abs-max to the
+    percentile of |x| (running max across batches either way) — the
+    outlier-robust scale for heavy-tailed real-image activations, where one
+    hot pixel through a high-gain conv would otherwise set the whole
+    tensor's scale (layers.QuantConv documents the estimator;
+    tools/calib_sensitivity.py measures the mAP effect of the choice).
     """
-    mcfg = dataclasses.replace(cfg.model, backbone_quant="calibrate")
+    mode = ("calibrate" if percentile >= 100.0
+            else f"calibrate:p{percentile}")
+    mcfg = dataclasses.replace(cfg.model, backbone_quant=mode)
     model = build_detector(mcfg, dtype)
     base = {k: v for k, v in variables.items() if k != "quant"}
 
