@@ -127,6 +127,12 @@ class ModelConfig:
     # forward, conv-backward saved activations stored int8 (exact dL/dx,
     # quantized filter grad).
     backbone_quant: Optional[str] = None
+    # Inference-only Pallas fusion of Xception-lite's stride-1 separable
+    # blocks (dw3x3 -> 1x1 -> folded BN -> ReLU in one HBM pass,
+    # ops/pallas/fused_sepconv.py) — deletes the depthwise intermediate's
+    # HBM round trip on the bandwidth-bound backbone.  xception_lite only;
+    # setting it with a ResNet backbone is an error (no separable convs).
+    backbone_fused_sepconv: bool = False
     num_classes: int = NUM_VOC_CLASSES
     image_size: int = 800                 # square static input
     # Light-Head pieces (SURVEY.md §2.4 N3/N6):

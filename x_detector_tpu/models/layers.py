@@ -284,6 +284,36 @@ class ConvBN(nn.Module):
         return x
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-only stand-in for an ``nn.Conv`` (fused inference path):
+    declares the identical ``kernel`` leaf so trained checkpoints load
+    unchanged, but returns the raw weights for a hand-fused Pallas op."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _FoldedBN(nn.Module):
+    """Parameter-only stand-in for ``BatchNorm2D`` (fused inference path):
+    identical param/batch_stats leaves; returns the inference-folded
+    per-channel (scale, bias) affine instead of applying it."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                             None, (c,), jnp.float32).value
+        var = self.variable("batch_stats", "var", nn.initializers.ones,
+                            None, (c,), jnp.float32).value
+        inv = gamma * jax.lax.rsqrt(var + self.epsilon)
+        return inv, beta - mean * inv
+
+
 class SeparableConvBN(nn.Module):
     """Depthwise-separable conv: depthwise 3x3 → pointwise 1x1, each + BN.
 
@@ -296,17 +326,40 @@ class SeparableConvBN(nn.Module):
     slowest conv family on TPU), while a dense 3x3 at the same width is
     MXU-shaped.  Profiled on the 800px/batch-16 train step, the dense form
     of stages 1-2 is ~2.5x faster than separable at equal width.
+
+    ``fused=True`` routes INFERENCE (train=False, stride 1, no quant) calls
+    through the single-HBM-pass Pallas kernel
+    (ops/pallas/fused_sepconv.py): dw3x3 -> 1x1 -> folded-BN -> ReLU with
+    the depthwise intermediate kept in VMEM — the backbone is
+    HBM-bandwidth-bound (DESIGN §11/§14), so deleting that round trip is
+    the measured config-3 lever.  The param tree is identical to the
+    unfused path (checkpoints load unchanged); training and stride-2 calls
+    keep the standard path.
     """
     features: int
     strides: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
     relu: bool = True
     dense: bool = False
+    fused: bool = False
     quant: Any = None          # None | "calibrate" | "int8" (module doc)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (self.fused and not train and self.quant is None
+                and not self.dense and self.strides == (1, 1)):
+            from x_detector_tpu.ops.pallas.fused_sepconv import (
+                fused_separable_conv)
+            assert self.dilation[0] == self.dilation[1]
+            cin = x.shape[-1]
+            wd = _ConvKernel((3, 3, 1, cin), name="Conv_0")()
+            wp = _ConvKernel((1, 1, cin, self.features), name="Conv_1")()
+            scale, bias = _FoldedBN(name="bn")(self.features)
+            return fused_separable_conv(
+                x.astype(self.dtype), wd.reshape(3, 3, cin),
+                wp.reshape(cin, self.features), scale, bias,
+                dilation=self.dilation[0], relu=self.relu)
         if self.quant is not None:
             # QuantConv named to replicate nn.Conv's auto-names so the
             # param tree matches trained checkpoints exactly

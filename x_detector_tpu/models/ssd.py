@@ -46,8 +46,14 @@ def make_backbone(cfg: ModelConfig, dilate_c5: bool, dtype,
     if cfg.backbone_quant is not None:
         kw["quant"] = cfg.backbone_quant
     if cfg.backbone == "resnet50":
+        if cfg.backbone_fused_sepconv:
+            raise ValueError(
+                "backbone_fused_sepconv applies to xception_lite only "
+                "(ResNet has no separable convs); refusing to ignore it")
         return ResNetV1(dilate_c5=dilate_c5, dtype=dtype, **kw)
     if cfg.backbone == "xception_lite":
+        if cfg.backbone_fused_sepconv:
+            kw["fused_sepconv"] = True
         return XceptionLite(dilate_c5=dilate_c5, dtype=dtype, **kw)
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 

@@ -51,6 +51,7 @@ class XceptionStage(nn.Module):
     entry_stride: Tuple[int, int] = (2, 2)
     dilation: Tuple[int, int] = (1, 1)
     dense: bool = False        # dense 3x3 blocks instead of separable
+    fused: bool = False        # Pallas fused sepconv at inference
     quant: Any = None          # None | "calibrate" | "int8" (layers.py doc)
     dtype: Dtype = jnp.bfloat16
 
@@ -66,11 +67,13 @@ class XceptionStage(nn.Module):
                                   name=f"proj{unit}")(x, train)
             y = SeparableConvBN(self.features, strides=stride,
                                 dilation=self.dilation, dense=self.dense,
-                                quant=self.quant, dtype=self.dtype,
+                                fused=self.fused, quant=self.quant,
+                                dtype=self.dtype,
                                 name=f"sep{unit}a")(x, train)
             y = SeparableConvBN(self.features, dilation=self.dilation,
                                 relu=False, dense=self.dense,
-                                quant=self.quant, dtype=self.dtype,
+                                fused=self.fused, quant=self.quant,
+                                dtype=self.dtype,
                                 name=f"sep{unit}b")(y, train)
             x = nn.relu(y + shortcut)
         return x
@@ -104,6 +107,14 @@ class XceptionLite(nn.Module):
     # training-bound work.  (Same measure-first spirit as the 128-lane
     # width retuning above; DESIGN.md §11.)
     dense_stages: int = 0
+    # Inference-only Pallas fusion of every stride-1 separable block
+    # (dw3x3 -> 1x1 -> folded BN -> ReLU in one HBM pass,
+    # ops/pallas/fused_sepconv.py): the backbone is HBM-bandwidth-bound
+    # (DESIGN §11/§14) and XLA never fuses conv -> conv, so the depthwise
+    # intermediate round trip is pure deletable traffic on 14 of the 16
+    # separable convs.  Training and stride-2 entries keep the standard
+    # path.  Measured knob (tools/bench_fused_sepconv.py).
+    fused_sepconv: bool = False
     # First N stages recompute their forward during backward
     # (jax.checkpoint via nn.remat) instead of saving intermediates: the
     # backbone backward is HBM-bandwidth-bound (DESIGN §11), so trading
@@ -141,22 +152,24 @@ class XceptionLite(nn.Module):
 
         x = stage(1)(self.widths[0], self.units_per_stage[0],
                      entry_stride=(1, 1), dense=self.dense_stages >= 1,
-                     quant=self.quant, dtype=self.dtype,
+                     fused=self.fused_sepconv, quant=self.quant,
+                     dtype=self.dtype,
                      name="stage1")(x, train)              # s4
         c3 = stage(2)(self.widths[1], self.units_per_stage[1],
-                      dense=self.dense_stages >= 2, quant=self.quant,
+                      dense=self.dense_stages >= 2,
+                      fused=self.fused_sepconv, quant=self.quant,
                       dtype=self.dtype, name="stage2")(x, train)  # s8
         c4 = stage(3)(self.widths[2], self.units_per_stage[2],
-                      quant=self.quant,
+                      fused=self.fused_sepconv, quant=self.quant,
                       dtype=self.dtype, name="stage3")(c3, train)  # s16
         if self.dilate_c5:
             c5 = stage(4)(self.widths[3], self.units_per_stage[3],
                           entry_stride=(1, 1), dilation=(2, 2),
-                          quant=self.quant,
+                          fused=self.fused_sepconv, quant=self.quant,
                           dtype=self.dtype, name="stage4")(c4, train)
         else:
             c5 = stage(4)(self.widths[3], self.units_per_stage[3],
-                          quant=self.quant,
+                          fused=self.fused_sepconv, quant=self.quant,
                           dtype=self.dtype, name="stage4")(c4, train)
         return {"c3": c3, "c4": c4, "c5": c5}
 
