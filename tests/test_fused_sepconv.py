@@ -46,6 +46,25 @@ def test_kernel_matches_reference(dilation, relu):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pick_band_rejects_halo_larger_than_image():
+    """th + 2d must fit H: the interior-band DMA's slice size is static,
+    so it must be legal even when that branch is dead.  A 64x64 input
+    maps the dilated stage to h=4, d=2 (th=2 would give a 6-row DMA into
+    a 4-row image — caught driving the full backbone, round 5)."""
+    b, h, w, cin, cout = 1, 4, 4, 8, 8
+    assert _pick_band(h, w, cin, cout, 2) is None
+    ks = jax.random.split(jax.random.PRNGKey(8), 5)
+    x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
+    wd = jax.random.normal(ks[1], (3, 3, cin), jnp.float32)
+    wp = jax.random.normal(ks[2], (cin, cout), jnp.float32)
+    ref = reference_separable_conv(x, wd, wp, jnp.ones(cout),
+                                   jnp.zeros(cout), dilation=2)
+    out = fused_separable_conv(x, wd, wp, jnp.ones(cout), jnp.zeros(cout),
+                               dilation=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_kernel_fallback_shapes_match_reference():
     """Odd H has no whole row-band tiling -> the lax fallback serves the
     same contract."""
@@ -94,6 +113,45 @@ def test_module_fused_variants(relu, dilation):
     ref = mod.apply(variables, x, train=False)
     out = dataclasses.replace(mod, fused=True).apply(variables, x,
                                                      train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_kernel_residual_epilogue_matches_reference(dilation):
+    """v2: the Xception unit's add+relu fused into the kernel epilogue."""
+    b, h, w, cin, cout = 2, 16, 9, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(6), 6)
+    x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
+    wd = jax.random.normal(ks[1], (3, 3, cin), jnp.float32) * 0.3
+    wp = jax.random.normal(ks[2], (cin, cout), jnp.float32) * 0.2
+    scale = jax.random.normal(ks[3], (cout,)) * 0.5 + 1.0
+    bias = jax.random.normal(ks[4], (cout,)) * 0.1
+    res = jax.random.normal(ks[5], (b, h, w, cout), jnp.float32)
+    assert _pick_band(h, w, cin, cout, dilation) is not None
+    ref = reference_separable_conv(x, wd, wp, scale, bias,
+                                   dilation=dilation, relu=True,
+                                   residual=res)
+    out = fused_separable_conv(x, wd, wp, scale, bias, dilation=dilation,
+                               relu=True, residual=res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_module_residual_fused_matches_unfused():
+    """SeparableConvBN(relu=False) with a residual: fused output matches
+    the unfused relu(bn(convs(x)) + residual) on the same variables."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    x = jax.random.normal(ks[0], (2, 16, 16, 8), jnp.float32)
+    res = jax.random.normal(ks[1], (2, 16, 16, 8), jnp.float32)
+    mod = SeparableConvBN(8, relu=False, dtype=jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(v, x, train=False, residual=res)
+    # the unfused residual routing equals the historical stage formulation
+    manual = jnp.maximum(mod.apply(v, x, train=False) + res, 0.0)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(manual))
+    out = dataclasses.replace(mod, fused=True).apply(v, x, train=False,
+                                                     residual=res)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 

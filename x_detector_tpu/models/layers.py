@@ -346,7 +346,14 @@ class SeparableConvBN(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 residual: jnp.ndarray = None) -> jnp.ndarray:
+        """``residual``: optional Xception-unit shortcut — added after the
+        BN affine, followed by ReLU (requires ``relu=False`` on the module:
+        the unit epilogue owns the activation).  Routing it through the
+        module lets the fused kernel absorb the add+relu pass."""
+        if residual is not None:
+            assert not self.relu, "residual epilogue owns the ReLU"
         if (self.fused and not train and self.quant is None
                 and not self.dense and self.strides == (1, 1)):
             from x_detector_tpu.ops.pallas.fused_sepconv import (
@@ -359,7 +366,9 @@ class SeparableConvBN(nn.Module):
             return fused_separable_conv(
                 x.astype(self.dtype), wd.reshape(3, 3, cin),
                 wp.reshape(cin, self.features), scale, bias,
-                dilation=self.dilation[0], relu=self.relu)
+                dilation=self.dilation[0],
+                relu=self.relu or residual is not None,
+                residual=residual)
         if self.quant is not None:
             # QuantConv named to replicate nn.Conv's auto-names so the
             # param tree matches trained checkpoints exactly
@@ -391,6 +400,8 @@ class SeparableConvBN(nn.Module):
             x = nn.Conv(self.features, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = BatchNorm2D(dtype=self.dtype, name="bn")(x, train)
+        if residual is not None:
+            return nn.relu(x + residual)
         if self.relu:
             x = nn.relu(x)
         return x

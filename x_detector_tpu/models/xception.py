@@ -70,12 +70,14 @@ class XceptionStage(nn.Module):
                                 fused=self.fused, quant=self.quant,
                                 dtype=self.dtype,
                                 name=f"sep{unit}a")(x, train)
-            y = SeparableConvBN(self.features, dilation=self.dilation,
+            # the unit's add+relu epilogue is routed through sep{unit}b so
+            # the fused kernel can absorb it (identical lax ops otherwise)
+            x = SeparableConvBN(self.features, dilation=self.dilation,
                                 relu=False, dense=self.dense,
                                 fused=self.fused, quant=self.quant,
                                 dtype=self.dtype,
-                                name=f"sep{unit}b")(y, train)
-            x = nn.relu(y + shortcut)
+                                name=f"sep{unit}b")(y, train,
+                                                    residual=shortcut)
         return x
 
 

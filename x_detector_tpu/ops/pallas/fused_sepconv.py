@@ -19,15 +19,16 @@ measured out.
 
 Kernel shape (one grid step = one [TH, W] row-band of one image):
 
-  * ``x`` stays in HBM (``pltpu.ANY``); each step DMAs its row band plus a
-    ``d``-row halo (d = dilation) into a zero-margined VMEM scratch
-    ``[TH + 2d, W + 2d, C]`` — W margins are zeroed once at the first grid
-    step and never written again (SAME-padding semantics for free), row
-    margins are re-zeroed only on the first/last band of an image.
-  * the 9 depthwise taps are static VMEM slices ``xbuf[t*d : t*d + TH,
-    j*d : j*d + W]`` FMA'd on the VPU with fp32 accumulation (one tap's
-    row arithmetic is identical for interior and boundary bands because
-    the DMA writes boundary bands at a ``d``-row offset);
+  * ``x`` stays in HBM (``pl.ANY``); each step DMAs its row band plus a
+    ``d``-row halo (d = dilation) into a VMEM scratch ``[TH + 2d, W, C]``;
+    boundary bands land at a ``d``-row offset with the off-image rows
+    zeroed (SAME padding in H).  All DMA offsets live in the untiled
+    row dim — Mosaic requires offsets in the (8, 128)-tiled W/C dims to
+    be tile-aligned, which is also why
+  * the 9 depthwise taps slice only rows; the W offsets are sublane
+    ROTATES (``pltpu.roll``) + iota masks (SAME padding in W), FMA'd on
+    the VPU with fp32 accumulation — identical index arithmetic for
+    interior and boundary bands;
   * the pointwise conv is ONE MXU matmul ``[TH*W, Cin] @ [Cin, Cout]``
     (bf16 operands, fp32 accumulation), with the folded BN affine
     (inference BatchNorm2D: per-channel scale+bias) and optional ReLU
@@ -57,12 +58,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def reference_separable_conv(x, wd, wp, scale, bias, *, dilation=1,
-                             relu=True):
-    """Unfused lax formulation: dw3x3 (SAME) -> 1x1 -> affine -> relu.
+                             relu=True, residual=None):
+    """Unfused lax formulation: dw3x3 (SAME) -> 1x1 -> affine [-> +residual]
+    -> relu.
 
     ``wd``: [3, 3, C] depthwise taps; ``wp``: [C, Cout]; ``scale``/
     ``bias``: [Cout] folded BN affine (fp32).  Matches the production
-    SeparableConvBN inference path op-for-op.
+    SeparableConvBN inference path op-for-op.  ``residual`` ([B, H, W,
+    Cout]) is the Xception unit's shortcut, added after the affine and
+    before the (then mandatory) ReLU.
     """
     c = x.shape[-1]
     t = lax.conv_general_dilated(
@@ -74,6 +78,8 @@ def reference_separable_conv(x, wd, wp, scale, bias, *, dilation=1,
         t, wp[None, None].astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
     return jnp.maximum(y, 0) if relu else y
 
 
@@ -84,7 +90,11 @@ def _pick_band(h: int, w: int, cin: int, cout: int, d: int):
     but a modest footprint leaves the pipeline slack)."""
     budget = 20 * 1024 * 1024
     for th in (32, 25, 20, 16, 10, 8, 5, 4, 2):
-        if h % th or h // th < 2:
+        # th + 2d <= h: the interior-band DMA's STATIC slice size must fit
+        # the image even when the branch is dead (trace-time requirement —
+        # caught driving the full backbone on a 64x64 input, whose dilated
+        # stage maps to h=4, d=2).
+        if h % th or h // th < 2 or th + 2 * d > h:
             continue
         vmem = ((th + 2 * d) * (w + 2 * d) * cin * 2     # xbuf bf16
                 + th * w * cin * 4                       # fp32 dw acc
@@ -97,37 +107,35 @@ def _pick_band(h: int, w: int, cin: int, cout: int, d: int):
     return None
 
 
-def _kernel(x_hbm, wd_ref, wp_ref, sb_ref, out_ref, xbuf, sem, *,
-            th: int, d: int, h: int, w: int, relu: bool):
+def _kernel(x_hbm, wd_ref, wp_ref, sb_ref, *rest,
+            th: int, d: int, h: int, w: int, relu: bool,
+            has_residual: bool):
+    if has_residual:
+        res_ref, out_ref, xbuf, sem = rest
+    else:
+        (out_ref, xbuf, sem), res_ref = rest, None
     b = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
 
-    # --- load the row band + halo (static-size DMAs; 3 boundary cases) ---
-    @pl.when(jnp.logical_and(b == 0, i == 0))
-    def _():
-        # zero once: W margins are never DMA'd again; row margins are
-        # re-zeroed per boundary band below
-        xbuf[...] = jnp.zeros_like(xbuf)
-
+    # --- load the row band + halo (static-size DMAs; 3 boundary cases).
+    # Row offsets live in the UNTILED leading dim, so any offset is legal;
+    # the W/C dims are always copied whole (Mosaic requires slice offsets
+    # in the (8, 128)-tiled dims to be tile-aligned — the first version
+    # DMA'd into a d-column W margin and failed exactly that check).
     @pl.when(jnp.logical_and(i > 0, i < n - 1))
     def _():
         cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * th - d, th + 2 * d)],
-            xbuf.at[:, pl.ds(d, w)], sem)
+            x_hbm.at[b, pl.ds(i * th - d, th + 2 * d)], xbuf, sem)
         cp.start()
         cp.wait()
 
-    @pl.when(jnp.logical_and(i == 0, b > 0))
-    def _():
-        # the previous image's interior bands overwrote the top margin
-        xbuf[0:d] = jnp.zeros_like(xbuf[0:d])
-
     @pl.when(i == 0)
     def _():
+        xbuf[0:d] = jnp.zeros_like(xbuf[0:d])     # top image margin
         cp = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(0, th + d)],
-            xbuf.at[pl.ds(d, th + d), pl.ds(d, w)], sem)
+            xbuf.at[pl.ds(d, th + d)], sem)
         cp.start()
         cp.wait()
 
@@ -135,40 +143,58 @@ def _kernel(x_hbm, wd_ref, wp_ref, sb_ref, out_ref, xbuf, sem, *,
     def _():
         cp = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(h - th - d, th + d)],
-            xbuf.at[pl.ds(0, th + d), pl.ds(d, w)], sem)
+            xbuf.at[pl.ds(0, th + d)], sem)
         cp.start()
         cp.wait()
-        xbuf[th + d:] = jnp.zeros_like(xbuf[th + d:])
+        xbuf[th + d:] = jnp.zeros_like(xbuf[th + d:])   # bottom margin
 
-    # --- depthwise 3x3 on the VPU (9 static slices, fp32 accumulation) ---
+    # --- depthwise 3x3 on the VPU (fp32 accumulation) ------------------
     # Output row r reads xbuf[r + t*d] for tap t: the boundary DMAs write
     # at a d-row offset, which makes this index arithmetic uniform across
-    # interior and boundary bands (the zeroed margins supply SAME padding).
+    # interior and boundary bands (the zeroed margins supply SAME padding
+    # in H).  W taps use roll + iota masks instead of slices: a W slice at
+    # offset d is a non-tile-aligned sublane access Mosaic rejects, while
+    # a sublane rotate + select is native VPU work.
     cin = xbuf.shape[-1]
     acc = jnp.zeros((th, w, cin), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, w, cin), 1)
     for t in range(3):
+        rows = xbuf[t * d:t * d + th].astype(jnp.float32)
         for j in range(3):
-            seg = xbuf[t * d:t * d + th, j * d:j * d + w]
-            acc += seg.astype(jnp.float32) * wd_ref[t, j].astype(jnp.float32)
+            sh = (j - 1) * d                      # tap column offset
+            if sh == 0:
+                seg = rows
+            else:
+                # circular: seg[:, k] = rows[:, k+sh]; roll wants shift >= 0
+                seg = pltpu.roll(rows, (-sh) % w, axis=1)
+                seg = jnp.where(
+                    jnp.logical_and(col + sh >= 0, col + sh < w), seg, 0.0)
+            acc += seg * wd_ref[t, j].astype(jnp.float32)
 
     # --- pointwise 1x1 on the MXU + folded-BN epilogue, one store ---
     lhs = acc.astype(out_ref.dtype).reshape(th * w, cin)
     y = jnp.dot(lhs, wp_ref[...].astype(out_ref.dtype),
                 preferred_element_type=jnp.float32)
     y = y * sb_ref[0] + sb_ref[1]
+    if has_residual:
+        # Xception-unit shortcut fused into the epilogue: spares the
+        # separate add+relu elementwise pass (a full read+write of y).
+        y = y + res_ref[...].reshape(th * w, -1).astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
     out_ref[...] = y.reshape(1, th, w, -1).astype(out_ref.dtype)
 
 
 def fused_separable_conv(x, wd, wp, scale, bias, *, dilation=1, relu=True,
-                         interpret=None):
-    """relu((dw3x3(x; SAME, dilation) conv1x1 wp) * scale + bias).
+                         residual=None, interpret=None):
+    """relu((dw3x3(x; SAME, dilation) conv1x1 wp) * scale + bias [+ res]).
 
     ``x`` [B, H, W, Cin] (bf16 on the production path); ``wd`` [3, 3, Cin]
     fp32 depthwise taps; ``wp`` [Cin, Cout] fp32; ``scale``/``bias``
-    [Cout] fp32 (inference-folded BatchNorm2D affine).  Returns
-    [B, H, W, Cout] in ``x.dtype``.
+    [Cout] fp32 (inference-folded BatchNorm2D affine); ``residual``
+    optional [B, H, W, Cout] shortcut added before the ReLU (the Xception
+    unit epilogue — fusing it spares the separate add+relu pass).
+    Returns [B, H, W, Cout] in ``x.dtype``.
 
     Falls back to the exact lax formulation when no whole row-band tiling
     exists (odd/tiny H — test-sized shapes, never the judged configs) or
@@ -183,25 +209,35 @@ def fused_separable_conv(x, wd, wp, scale, bias, *, dilation=1, relu=True,
         interpret = jax.default_backend() == "cpu"
     if th is None:
         return reference_separable_conv(x, wd, wp, scale, bias,
-                                        dilation=d, relu=relu)
+                                        dilation=d, relu=relu,
+                                        residual=residual)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)       # [2, Cout]
     grid = (b, h // th)
-    kernel = functools.partial(_kernel, th=th, d=d, h=h, w=w, relu=relu)
+    kernel = functools.partial(_kernel, th=th, d=d, h=h, w=w, relu=relu,
+                               has_residual=residual is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                  # x: HBM
+        pl.BlockSpec(memory_space=pltpu.VMEM),              # wd
+        pl.BlockSpec(memory_space=pltpu.VMEM),              # wp
+        pl.BlockSpec(memory_space=pltpu.VMEM),              # scale/bias
+    ]
+    operands = [x, jnp.asarray(wd, jnp.float32), wp, sb]
+    if residual is not None:
+        assert residual.shape == (b, h, w, cout), residual.shape
+        in_specs.append(pl.BlockSpec((1, th, w, cout),
+                                     lambda bb, ii: (bb, ii, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(residual.astype(x.dtype))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),              # x: HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # wd
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # wp
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # scale/bias
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, w, cout),
                                lambda bb, ii: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * d, w + 2 * d, cin), x.dtype),
+            pltpu.VMEM((th + 2 * d, w, cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -214,4 +250,4 @@ def fused_separable_conv(x, wd, wp, scale, bias, *, dilation=1, relu=True,
             bytes_accessed=(b * h * w * (cin + cout)) * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x, jnp.asarray(wd, jnp.float32), wp, sb)
+    )(*operands)
