@@ -46,13 +46,13 @@ def test_kernel_matches_reference(dilation, relu):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pick_band_rejects_halo_larger_than_image():
-    """th + 2d must fit H: the interior-band DMA's slice size is static,
-    so it must be legal even when that branch is dead.  A 64x64 input
-    maps the dilated stage to h=4, d=2 (th=2 would give a 6-row DMA into
-    a 4-row image — caught driving the full backbone, round 5)."""
+def test_tiny_dilated_map_matches_reference():
+    """h=4, d=2 (a 64x64 input's dilated stage): v2's halo DMA over-read
+    this shape at trace time; v3's carry-ring covers it with a single
+    band whose halos are both image boundaries (caught driving the full
+    backbone, round 5)."""
     b, h, w, cin, cout = 1, 4, 4, 8, 8
-    assert _pick_band(h, w, cin, cout, 2) is None
+    assert _pick_band(h, w, cin, cout, 2) is not None
     ks = jax.random.split(jax.random.PRNGKey(8), 5)
     x = jax.random.normal(ks[0], (b, h, w, cin), jnp.float32)
     wd = jax.random.normal(ks[1], (3, 3, cin), jnp.float32)

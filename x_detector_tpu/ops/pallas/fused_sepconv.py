@@ -17,22 +17,30 @@ convs is the one transform that attacks the binding constraint directly —
 int8 (§20), act8 (§20), remat (§17) and dense reparameterization (§11) all
 measured out.
 
-Kernel shape (one grid step = one [TH, W] row-band of one image):
+Kernel shape (v3 — the carry-ring; one grid step retires one [TH, W]
+row-band of one image, the grid runs one extra step per image):
 
-  * ``x`` stays in HBM (``pl.ANY``); each step DMAs its row band plus a
-    ``d``-row halo (d = dilation) into a VMEM scratch ``[TH + 2d, W, C]``;
-    boundary bands land at a ``d``-row offset with the off-image rows
-    zeroed (SAME padding in H).  All DMA offsets live in the untiled
-    row dim — Mosaic requires offsets in the (8, 128)-tiled W/C dims to
-    be tile-aligned, which is also why
+  * ``x`` is loaded band-by-band through a plain Blocked BlockSpec —
+    Mosaic's pipeline machinery accepts any W (measured: blocked copies
+    of W=100 blocks compile; manual ``make_async_copy`` of the same
+    shape is rejected unless W % 8 == 0, which killed v2 on the judged
+    config-3 stages, W in {100, 50}).  Halos never cross a DMA: the
+    kernel keeps a VMEM ring of the previous band and the ``d``-row
+    tail of the band before it, assembles the halo'd working band
+    ``[TH + 2d, W, C]`` from {tail, prev, head-of-current} with row-dim
+    VMEM copies (row slices live in the untiled leading dim — always
+    legal), and computes output band ``i-1`` while band ``i`` streams
+    in.  Image-boundary rows are zeroed (SAME padding in H).
   * the 9 depthwise taps slice only rows; the W offsets are sublane
     ROTATES (``pltpu.roll``) + iota masks (SAME padding in W), FMA'd on
-    the VPU with fp32 accumulation — identical index arithmetic for
-    interior and boundary bands;
+    the VPU with fp32 accumulation.  Rolls are exact for ANY logical W
+    including wrap-around (probed on hardware at W=100: padded sublanes
+    do not leak), and wrapped lanes are masked anyway.
   * the pointwise conv is ONE MXU matmul ``[TH*W, Cin] @ [Cin, Cout]``
     (bf16 operands, fp32 accumulation), with the folded BN affine
-    (inference BatchNorm2D: per-channel scale+bias) and optional ReLU
-    applied to the fp32 accumulator before the single cast+store.
+    (inference BatchNorm2D: per-channel scale+bias), the optional
+    Xception-unit residual, and the ReLU applied to the fp32
+    accumulator before the single cast+store.
 
 Stride-2 entry convs (2 of 16 in the judged backbone) keep the unfused
 path: their intermediate is 4x smaller, so the fusion win is marginal and
@@ -42,7 +50,7 @@ backbone_fused_sepconv`` via SeparableConvBN(fused=True).
 
 The reference implementation (`reference_separable_conv`) is the exact
 lax formulation used for parity tests and as the dispatch fallback for
-shapes the kernel does not support (odd H, H < 4: tiny-test territory,
+shapes with no whole row-band tiling (odd/prime H: tiny-test territory,
 never the judged configs).
 """
 
@@ -84,105 +92,86 @@ def reference_separable_conv(x, wd, wp, scale, bias, *, dilation=1,
 
 
 def _pick_band(h: int, w: int, cin: int, cout: int, d: int):
-    """Largest row-band TH that divides H with >= 2 bands and fits the
-    VMEM working set (scratch + fp32 acc + matmul out + double-buffered
-    output block; physical VMEM is 128 MiB on v5e — psroi_align_kernel —
-    but a modest footprint leaves the pipeline slack)."""
-    budget = 20 * 1024 * 1024
+    """Largest row-band TH that divides H and fits the VMEM working set
+    (double-buffered in/out blocks + ring carries + fp32 accumulators;
+    physical VMEM is 128 MiB on v5e — psroi_align_kernel — but a modest
+    footprint leaves the pipeline slack)."""
+    budget = 24 * 1024 * 1024
     for th in (32, 25, 20, 16, 10, 8, 5, 4, 2):
-        # th + 2d <= h: the interior-band DMA's STATIC slice size must fit
-        # the image even when the branch is dead (trace-time requirement —
-        # caught driving the full backbone on a 64x64 input, whose dilated
-        # stage maps to h=4, d=2).
-        if h % th or h // th < 2 or th + 2 * d > h:
+        if h % th:
             continue
-        vmem = ((th + 2 * d) * (w + 2 * d) * cin * 2     # xbuf bf16
-                + th * w * cin * 4                       # fp32 dw acc
-                + th * w * cin * 2                       # bf16 matmul lhs
-                + th * w * cout * 4                      # fp32 matmul acc
-                + 2 * th * w * cout * 2                  # out block x2
-                + cin * cout * 2)                        # wp
+        vmem = (2 * th * w * cin * 2          # x block, double-buffered
+                + 2 * th * w * cout * 2       # out block, double-buffered
+                + (th + 2 * d) * w * cin * 2  # assembled halo'd band
+                + th * w * cin * 2            # ring: prev band
+                + d * w * cin * 2             # ring: tail of band j-1
+                + th * w * cin * 4            # fp32 dw accumulator
+                + th * w * cout * 4           # fp32 matmul accumulator
+                + cin * cout * 2)             # wp
         if vmem <= budget:
             return th
     return None
 
 
-def _kernel(x_hbm, wd_ref, wp_ref, sb_ref, *rest,
+def _kernel(wd_ref, wp_ref, sb_ref, x_ref, *rest,
             th: int, d: int, h: int, w: int, relu: bool,
             has_residual: bool):
     if has_residual:
-        res_ref, out_ref, xbuf, sem = rest
+        res_ref, out_ref, xbuf, prev, tail = rest
     else:
-        (out_ref, xbuf, sem), res_ref = rest, None
-    b = pl.program_id(0)
+        (out_ref, xbuf, prev, tail), res_ref = rest, None
     i = pl.program_id(1)
-    n = pl.num_programs(1)
+    n = pl.num_programs(1) - 1                # n bands; grid runs n+1 steps
+    j = i - 1                                 # band retired this step
 
-    # --- load the row band + halo (static-size DMAs; 3 boundary cases).
-    # Row offsets live in the UNTILED leading dim, so any offset is legal;
-    # the W/C dims are always copied whole (Mosaic requires slice offsets
-    # in the (8, 128)-tiled dims to be tile-aligned — the first version
-    # DMA'd into a d-column W margin and failed exactly that check).
-    @pl.when(jnp.logical_and(i > 0, i < n - 1))
+    # --- assemble the halo'd band [TH + 2d, W, C] and compute band j ---
+    @pl.when(i > 0)
     def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * th - d, th + 2 * d)], xbuf, sem)
-        cp.start()
-        cp.wait()
+        zeros_d = jnp.zeros((d, w, xbuf.shape[-1]), xbuf.dtype)
+        xbuf[0:d] = jnp.where(j > 0, tail[...], zeros_d)
+        xbuf[d:d + th] = prev[...]
+        # x_ref holds band min(i, n-1): band j+1 for interior steps, band
+        # n-1 (== j) on the flush step, where the bottom halo is off-image
+        xbuf[d + th:] = jnp.where(j < n - 1, x_ref[0, 0:d], zeros_d)
 
-    @pl.when(i == 0)
-    def _():
-        xbuf[0:d] = jnp.zeros_like(xbuf[0:d])     # top image margin
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(0, th + d)],
-            xbuf.at[pl.ds(d, th + d)], sem)
-        cp.start()
-        cp.wait()
+        # depthwise 3x3 on the VPU (fp32 accumulation).  Output row r
+        # reads xbuf[r + t*d] for tap t — row slices are untiled-dim
+        # accesses.  W taps: sublane rotate + iota mask (SAME in W).
+        cin = xbuf.shape[-1]
+        acc = jnp.zeros((th, w, cin), jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, w, cin), 1)
+        for t in range(3):
+            rows = xbuf[t * d:t * d + th].astype(jnp.float32)
+            for jj in range(3):
+                sh = (jj - 1) * d             # tap column offset
+                if sh == 0:
+                    seg = rows
+                else:
+                    # seg[:, k] = rows[:, k+sh]; roll wants shift >= 0
+                    seg = pltpu.roll(rows, (-sh) % w, axis=1)
+                    seg = jnp.where(
+                        jnp.logical_and(col + sh >= 0, col + sh < w),
+                        seg, 0.0)
+                acc += seg * wd_ref[t, jj].astype(jnp.float32)
 
-    @pl.when(i == n - 1)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(h - th - d, th + d)],
-            xbuf.at[pl.ds(0, th + d)], sem)
-        cp.start()
-        cp.wait()
-        xbuf[th + d:] = jnp.zeros_like(xbuf[th + d:])   # bottom margin
+        # pointwise 1x1 on the MXU + folded-BN epilogue, one store
+        lhs = acc.astype(out_ref.dtype).reshape(th * w, cin)
+        y = jnp.dot(lhs, wp_ref[...].astype(out_ref.dtype),
+                    preferred_element_type=jnp.float32)
+        y = y * sb_ref[0] + sb_ref[1]
+        if has_residual:
+            # Xception-unit shortcut fused into the epilogue: spares the
+            # separate add+relu elementwise pass (a full read+write of y)
+            y = y + res_ref[...].reshape(th * w, -1).astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[...] = y.reshape(1, th, w, -1).astype(out_ref.dtype)
 
-    # --- depthwise 3x3 on the VPU (fp32 accumulation) ------------------
-    # Output row r reads xbuf[r + t*d] for tap t: the boundary DMAs write
-    # at a d-row offset, which makes this index arithmetic uniform across
-    # interior and boundary bands (the zeroed margins supply SAME padding
-    # in H).  W taps use roll + iota masks instead of slices: a W slice at
-    # offset d is a non-tile-aligned sublane access Mosaic rejects, while
-    # a sublane rotate + select is native VPU work.
-    cin = xbuf.shape[-1]
-    acc = jnp.zeros((th, w, cin), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (th, w, cin), 1)
-    for t in range(3):
-        rows = xbuf[t * d:t * d + th].astype(jnp.float32)
-        for j in range(3):
-            sh = (j - 1) * d                      # tap column offset
-            if sh == 0:
-                seg = rows
-            else:
-                # circular: seg[:, k] = rows[:, k+sh]; roll wants shift >= 0
-                seg = pltpu.roll(rows, (-sh) % w, axis=1)
-                seg = jnp.where(
-                    jnp.logical_and(col + sh >= 0, col + sh < w), seg, 0.0)
-            acc += seg * wd_ref[t, j].astype(jnp.float32)
-
-    # --- pointwise 1x1 on the MXU + folded-BN epilogue, one store ---
-    lhs = acc.astype(out_ref.dtype).reshape(th * w, cin)
-    y = jnp.dot(lhs, wp_ref[...].astype(out_ref.dtype),
-                preferred_element_type=jnp.float32)
-    y = y * sb_ref[0] + sb_ref[1]
-    if has_residual:
-        # Xception-unit shortcut fused into the epilogue: spares the
-        # separate add+relu elementwise pass (a full read+write of y).
-        y = y + res_ref[...].reshape(th * w, -1).astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    out_ref[...] = y.reshape(1, th, w, -1).astype(out_ref.dtype)
+    # --- advance the ring: tail <- prev's last d rows, prev <- band i ---
+    # (reads before writes; at i == n the values are dead — the next step
+    # is (b+1, 0), which reinitializes both carries)
+    tail[...] = prev[th - d:th]
+    prev[...] = x_ref[0]
 
 
 def fused_separable_conv(x, wd, wp, scale, bias, *, dilation=1, relu=True,
@@ -212,37 +201,41 @@ def fused_separable_conv(x, wd, wp, scale, bias, *, dilation=1, relu=True,
                                         dilation=d, relu=relu,
                                         residual=residual)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)       # [2, Cout]
-    grid = (b, h // th)
+    n = h // th
+    grid = (b, n + 1)                         # one extra flush step/image
     kernel = functools.partial(_kernel, th=th, d=d, h=h, w=w, relu=relu,
                                has_residual=residual is not None)
+    # Band j is computed at step j+1 from ring carries (bands j-1, j) plus
+    # the head of the in-flight band j+1; the input index clamps to n-1 on
+    # the flush step, the output index clamps to 0 on the fill step (its
+    # garbage write is overwritten at step 1 before the block flushes —
+    # the pipeline only writes back when the out index CHANGES).
     in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),                  # x: HBM
         pl.BlockSpec(memory_space=pltpu.VMEM),              # wd
         pl.BlockSpec(memory_space=pltpu.VMEM),              # wp
         pl.BlockSpec(memory_space=pltpu.VMEM),              # scale/bias
+        pl.BlockSpec((1, th, w, cin),
+                     lambda bb, ii: (bb, jnp.minimum(ii, n - 1), 0, 0)),
     ]
-    operands = [x, jnp.asarray(wd, jnp.float32), wp, sb]
+    operands = [jnp.asarray(wd, jnp.float32), wp, sb, x]
+    out_index = lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0)
     if residual is not None:
         assert residual.shape == (b, h, w, cout), residual.shape
-        in_specs.append(pl.BlockSpec((1, th, w, cout),
-                                     lambda bb, ii: (bb, ii, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, th, w, cout), out_index))
         operands.append(residual.astype(x.dtype))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, w, cout),
-                               lambda bb, ii: (bb, ii, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, th, w, cout), out_index),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * d, w, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((th + 2 * d, w, cin), x.dtype),      # halo'd band
+            pltpu.VMEM((th, w, cin), x.dtype),              # ring: prev
+            pltpu.VMEM((d, w, cin), x.dtype),               # ring: tail
         ],
         compiler_params=pltpu.CompilerParams(
-            # scratch persists across grid steps (the zero-once W margins
-            # depend on it) -> the grid must stay sequential
+            # the ring carries persist across grid steps -> sequential grid
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
