@@ -1,21 +1,25 @@
 """Fused depthwise-separable conv block: dw3x3 -> 1x1 -> BN affine -> ReLU.
 
 The one measured perf frontier left on BASELINE config 3 (round-4 verdict
-item 5).  Xception-lite's building block is a depthwise 3x3 followed by a
-pointwise 1x1 (models/layers.SeparableConvBN, rebuilding SURVEY.md §2.4
-N2's separable blocks); XLA fuses elementwise epilogues into convolutions
-but never fuses conv -> conv, so the depthwise intermediate ``t``
-([B, H, W, C] — as large as the input) round-trips HBM between the two:
+item 5).  **STATUS: BUILT, MEASURED, BURIED — kept in-tree as the measured
+negative result (DESIGN §23).**  The working hypothesis was that XLA fuses
+elementwise epilogues into convolutions but never fuses conv -> conv, so
+the depthwise intermediate ``t`` ([B, H, W, C] — as large as the input)
+round-trips HBM between the dw3x3 and the 1x1:
 
     naive:  read x, write t, read t, write y      (4 activation passes)
     fused:  read x,                 write y       (2 activation passes)
 
-DESIGN §11/§14 established the backbone is HBM-bandwidth-bound (depthwise
-never touches the MXU; every bf16 lever sits at 1.06-1.44x its bandwidth
-floor), so halving activation traffic on 14 of the backbone's 16 separable
-convs is the one transform that attacks the binding constraint directly —
-int8 (§20), act8 (§20), remat (§17) and dense reparameterization (§11) all
-measured out.
+The hypothesis is FALSE on this backend, by measurement: the unfused XLA
+pair runs the config-3 stage-2 shape at 0.21 ms — *below* the 0.40 ms
+four-pass floor and at the 0.20 ms two-pass floor — i.e. XLA's TPU
+backend already elides the depthwise intermediate when it feeds a 1x1
+(the dw taps are computed as part of reading the matmul operand).  The
+e2e race measured the fused backbone at 0.72x the unfused one, and the
+residual per-stage slack (stages 3-4 sit 2.3-2.9x over the two-pass
+floor) bounds any perfect kernel's e2e win at ~3%.  Full roofline table
+and burial rationale: DESIGN §23; raw logs
+docs/artifacts/r5/fused_sepconv_race*.log.
 
 Kernel shape (v3 — the carry-ring; one grid step retires one [TH, W]
 row-band of one image, the grid runs one extra step per image):
@@ -137,22 +141,25 @@ def _kernel(wd_ref, wp_ref, sb_ref, x_ref, *rest,
         # depthwise 3x3 on the VPU (fp32 accumulation).  Output row r
         # reads xbuf[r + t*d] for tap t — row slices are untiled-dim
         # accesses.  W taps: sublane rotate + iota mask (SAME in W).
+        # The 9 taps are restructured as 3 column planes: combine the 3
+        # row taps per column offset FIRST (plain FMAs), then shift each
+        # combined plane once — 2 rolls + 2 masks total instead of 6 + 6
+        # (the rolls/masks are the kernel's dominant VPU cost; measured
+        # ~1.5x on the e2e race).
         cin = xbuf.shape[-1]
-        acc = jnp.zeros((th, w, cin), jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (th, w, cin), 1)
+        planes = [jnp.zeros((th, w, cin), jnp.float32) for _ in range(3)]
         for t in range(3):
             rows = xbuf[t * d:t * d + th].astype(jnp.float32)
             for jj in range(3):
-                sh = (jj - 1) * d             # tap column offset
-                if sh == 0:
-                    seg = rows
-                else:
-                    # seg[:, k] = rows[:, k+sh]; roll wants shift >= 0
-                    seg = pltpu.roll(rows, (-sh) % w, axis=1)
-                    seg = jnp.where(
-                        jnp.logical_and(col + sh >= 0, col + sh < w),
-                        seg, 0.0)
-                acc += seg * wd_ref[t, jj].astype(jnp.float32)
+                planes[jj] += rows * wd_ref[t, jj].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, w, cin), 1)
+        acc = planes[1]
+        for jj in (0, 2):
+            sh = (jj - 1) * d                 # tap column offset
+            # seg[:, k] = plane[:, k+sh]; roll wants shift >= 0
+            seg = pltpu.roll(planes[jj], (-sh) % w, axis=1)
+            acc += jnp.where(
+                jnp.logical_and(col + sh >= 0, col + sh < w), seg, 0.0)
 
         # pointwise 1x1 on the MXU + folded-BN epilogue, one store
         lhs = acc.astype(out_ref.dtype).reshape(th * w, cin)
