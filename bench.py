@@ -22,14 +22,18 @@ parent process below therefore never imports jax itself; it:
      ({"status": "tpu_unavailable", ...} with per-attempt evidence)
      instead of a bare traceback, and exits 1.
 
-Measurement protocol (unchanged from round 3): on the axon platform
+Measurement protocol (round 5: in-jit scan): on the axon platform
 ``jax.block_until_ready`` does NOT synchronize with device execution — only
-a host readback does.  The loop therefore queues ``ITERS`` executions over
-*distinct* pre-staged input batches (so no layer of the stack can memoize)
-and ends with a single scalar host readback; device queues are FIFO, so the
-readback bounds all queued work.  One tunnel round-trip (~27 ms) is included
-in the total — i.e., the reported number slightly UNDER-estimates the chip's
-sustained throughput.
+a host readback does.  Each timed pass is ONE jitted call that
+``lax.scan``s the full pipeline over ``ITERS`` *distinct* pre-staged input
+batches (so no layer of the stack can memoize) and ends with a single
+scalar host readback; device queues are FIFO, so the readback bounds the
+scanned work.  Round 4 dispatched the ITERS batches individually from the
+host; on this tunnel that paid ~2 ms of dispatch latency per batch and
+under-reported the chip by ~10% (904 vs 1020 img/s measured back-to-back
+— the in-jit number matches tools/bench_fused_sepconv.py's independent
+§13-protocol e2e measurement).  One tunnel round-trip (~27 ms) is still
+included per pass — the report remains a slight UNDER-estimate.
 
 Prints exactly one JSON line on success:
   {"metric": "detection_images_per_sec_per_chip", "value": N,
@@ -130,28 +134,36 @@ def child_measure():
                            jnp.zeros((1, size, size, 3)), train=False)
 
     @jax.jit
-    def detect(variables, images):
-        out = model.apply(variables, images, train=False)
-        det = lighthead_postprocess(out, cfg.model)
-        # scalar summary: the single host readback that fences the queue
-        return det.boxes, det.scores, det.classes, det.valid, det.scores.sum()
+    def detect_all(variables, stacked):
+        def body(carry, images):
+            out = model.apply(variables, images, train=False)
+            det = lighthead_postprocess(out, cfg.model)
+            # per-batch scalar keeps every pipeline output live (no DCE)
+            s = (det.scores.sum() + det.boxes.sum() + det.valid.sum()
+                 + det.classes.astype(jnp.float32).sum())
+            return carry + s, s
+        total, per_batch = jax.lax.scan(body, 0.0, stacked)
+        return total, per_batch
 
-    batches = [jax.random.uniform(jax.random.PRNGKey(i),
-                                  (BATCH, size, size, 3), jnp.float32,
-                                  maxval=255.0) for i in range(ITERS)]
-    # stage inputs + warm up compile
-    _ = np.asarray(detect(variables, batches[0])[4])
-    _ = np.asarray(detect(variables, batches[1])[4])
+    # distinct pre-staged batches, stacked for the in-jit scan
+    stacked = jnp.stack([jax.random.uniform(jax.random.PRNGKey(i),
+                                            (BATCH, size, size, 3),
+                                            jnp.float32, maxval=255.0)
+                         for i in range(ITERS)])
+    # warm up compile (+ one extra: first post-compile call can still pay
+    # one-time runtime setup)
+    _ = np.asarray(detect_all(variables, stacked)[0])
+    _ = np.asarray(detect_all(variables, stacked)[0])
 
-    # Best of 3 passes: the remote-TPU tunnel's dispatch latency varies
+    # Best of 3 passes: the remote-TPU tunnel's per-call latency varies
     # run-to-run with terminal contention (measured 567-762 img/s spread on
     # identical code); the fastest pass is the closest estimate of the
     # chip's sustained throughput.
     times = []
     for _pass in range(3):
         t0 = time.perf_counter()
-        results = [detect(variables, b) for b in batches]
-        _ = np.asarray(results[-1][4])          # FIFO fence
+        total, _per = detect_all(variables, stacked)
+        _ = np.asarray(total)                   # FIFO fence
         times.append(time.perf_counter() - t0)
 
     # Headline = best-of-3 (closest estimate of chip capability under the
