@@ -12,7 +12,7 @@ Two tiers, both §13 in-jit K-vs-2K timing (tunnel-safe):
 
 Run WITHOUT setting PYTHONPATH (this script inserts its own sys.path):
 
-  python tools/bench_fused_sepconv.py [--batch 16] [--iters 8] [--passes 3]
+  python tools/bench_fused_sepconv.py [--batch 16] [--iters 48] [--passes 3]
 """
 import argparse
 import dataclasses
@@ -40,7 +40,11 @@ STAGES = [  # (H, W, C, Cout, dilation) at config-3 800px, batch 16
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--iters", type=int, default=48,
+                   help="in-jit loop count per timed call; at 8 the sub-ms "
+                        "per-stage ops were swamped by tunnel RTT jitter "
+                        "(negative K-vs-2K differences, race3 log); 48 "
+                        "gave stable numbers (race5)")
     p.add_argument("--passes", type=int, default=3)
     p.add_argument("--skip-ops", action="store_true")
     p.add_argument("--skip-e2e", action="store_true")
