@@ -98,6 +98,14 @@ def main():
     p.add_argument("--passes", type=int, default=3)
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of 3 full calls")
+    p.add_argument("--backbone-quant", default=None, choices=["int8"],
+                   help="calibrate backbone conv activation ranges on "
+                        "synthetic batches (quant.calibrate_backbone), then "
+                        "profile the int8 backbone variant — round 5: the "
+                        "config-2 ResNet int8 win (1.20-1.27x, DESIGN §20) "
+                        "had never been measured on config 1, whose dilated "
+                        "ResNet sits at 1.44x its bf16 bandwidth floor")
+    p.add_argument("--calib-batches", type=int, default=4)
     args = p.parse_args()
 
     import jax
@@ -124,6 +132,29 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
 
+    if args.backbone_quant:
+        # Same flow as tools/quant_ab.py: collect activation ranges with a
+        # calibrate-mode model, then rebuild the model with the int8 config
+        # and carry the quant collection alongside the params.  Calibration
+        # data matches the timing distribution (uniform [0, 255) images) —
+        # scale values don't affect throughput, which is all this tool
+        # measures; accuracy A/Bs live in quant_ab.py.
+        import dataclasses
+
+        from x_detector_tpu import quant
+        calib = (jax.random.uniform(jax.random.PRNGKey(700 + i),
+                                    (args.batch, size, size, 3),
+                                    jnp.float32, maxval=255.0)
+                 for i in range(args.calib_batches))
+        qv = quant.calibrate_backbone(cfg, variables, calib)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, backbone_quant=args.backbone_quant))
+        variables = dict(variables, quant=qv)
+        if two_stage:
+            model = LightHeadRCNN(config=cfg.model, dtype=jnp.bfloat16)
+        else:
+            model = SSDModel(config=cfg.model, dtype=jnp.bfloat16)
+
     # --- stage functions (each returns ONE scalar: the readback fence) ----
     if two_stage:
         def backbone_fn(v, x):
@@ -133,10 +164,12 @@ def main():
             return sum(f.astype(jnp.float32).sum() for f in feats.values())
     else:
         dilate = False
+        bb_kw = ({"quant": args.backbone_quant} if args.backbone_quant
+                 else {})
         if cfg.model.backbone == "resnet50":
-            bb = ResNetV1(dilate_c5=dilate, dtype=jnp.bfloat16)
+            bb = ResNetV1(dilate_c5=dilate, dtype=jnp.bfloat16, **bb_kw)
         else:
-            bb = XceptionLite(dilate_c5=dilate, dtype=jnp.bfloat16)
+            bb = XceptionLite(dilate_c5=dilate, dtype=jnp.bfloat16, **bb_kw)
         def backbone_fn(v, x):
             sub = {k: val["backbone"] for k, val in v.items()
                    if "backbone" in val}
@@ -215,6 +248,7 @@ def main():
     full = rows[-1]
     print(json.dumps({
         "preset": cfg.model.name, "batch": args.batch, "image_size": size,
+        "backbone_quant": args.backbone_quant,
         "images_per_sec_per_chip": round(args.batch / (full["ms"] / 1e3), 2),
         "full_ms": round(full["ms"], 2),
         "full_tf": round(full["flops"] / 1e12, 3),
