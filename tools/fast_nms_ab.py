@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x_detector_tpu.config import (lighthead_xception, ssd_resnet50,
-                                   xdet_xception)
+from x_detector_tpu.config import (lighthead_resnet50, lighthead_xception,
+                                   ssd_resnet50, xdet_xception)
 from x_detector_tpu.data.augment import (preprocess_batch_for_train,
                                          preprocess_for_eval)
 from x_detector_tpu.data.synthetic import synthetic_batch_device
@@ -162,8 +162,13 @@ def capstone_config(fam: str, steps: int):
     (lighthead_xception, b16 @ 800px); ssd/xdet = config 2 geometry
     (512px, preset batch).
     """
-    if fam == "lighthead":
-        cfg = lighthead_xception(image_size=800)
+    if fam.startswith("lighthead"):
+        # "lighthead" = config 3 (Xception-lite); "lighthead_resnet50" =
+        # config 1 — added round 5 so the int8-on-config-1 throughput
+        # measurement (DESIGN §20) can get its direct accuracy A/B with
+        # one command instead of carrying mAP evidence over from config 2.
+        cfg = (lighthead_resnet50 if fam == "lighthead_resnet50"
+               else lighthead_xception)(image_size=800)
         return dataclasses.replace(
             cfg, train=dataclasses.replace(
                 cfg.train, batch_size=16, learning_rate=2e-3,
@@ -187,7 +192,7 @@ def smoke_shrink(cfg, fam: str):
     tiny = dict(image_size=64,
                 backbone_stages=(1, 1, 1, 1),
                 backbone_widths=(16, 32, 48, 64))
-    if fam == "lighthead":
+    if fam.startswith("lighthead"):
         tiny.update(
             large_sep_mid=16, head_dim=64,
             backbone_widths=(32, 64, 96, 128),

@@ -71,7 +71,13 @@ def make_detect(cfg, mcfg):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--family", default="both",
-                   choices=["lighthead", "ssd", "both"])
+                   choices=["lighthead", "lighthead_resnet50", "ssd",
+                            "both"],
+                   help="lighthead = config 3 (Xception-lite); "
+                        "lighthead_resnet50 = config 1 (round 5: its int8 "
+                        "throughput is measured in DESIGN §20 — this "
+                        "family runs the direct accuracy A/B); 'both' "
+                        "keeps the round-4 pair (configs 3 + 2)")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--seeds", default="0,1")
     p.add_argument("--eval-batches", type=int, default=10)
