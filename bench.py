@@ -63,8 +63,13 @@ BATCH = 16
 # 35 ms batch — noise.
 ITERS = 32
 
-PREFLIGHT_DEADLINE = float(os.environ.get("XDET_BENCH_PREFLIGHT_DEADLINE", "120"))
-MEASURE_DEADLINE = float(os.environ.get("XDET_BENCH_MEASURE_DEADLINE", "900"))
+# Deadline defaults are sized to the tunnel's observed WORST day, not its
+# healthy one: on 2026-08-19 a trivial import+init+matmul probe took 93 s
+# (healthy: ~20 s), so the old 120 s preflight deadline failed all three
+# attempts while the chip itself was fine.  300/1800 keep every wedge
+# bounded but tolerate a ~4x-degraded tunnel.
+PREFLIGHT_DEADLINE = float(os.environ.get("XDET_BENCH_PREFLIGHT_DEADLINE", "300"))
+MEASURE_DEADLINE = float(os.environ.get("XDET_BENCH_MEASURE_DEADLINE", "1800"))
 ATTEMPTS = int(os.environ.get("XDET_BENCH_ATTEMPTS", "3"))
 
 
