@@ -33,7 +33,9 @@ host; on this tunnel that paid ~2 ms of dispatch latency per batch and
 under-reported the chip by ~10% (904 vs 1020 img/s measured back-to-back
 — the in-jit number matches tools/bench_fused_sepconv.py's independent
 §13-protocol e2e measurement).  One tunnel round-trip (~27 ms) is still
-included per pass — the report remains a slight UNDER-estimate.
+included per pass — the report remains a slight UNDER-estimate; an outer
+in-jit sweep loop (``SWEEPS``, default 4) re-scans the staged stack to
+amortize that RTT over 4x the images (~5% -> ~1.3% share).
 
 Prints exactly one JSON line on success:
   {"metric": "detection_images_per_sec_per_chip", "value": N,
@@ -62,6 +64,17 @@ BATCH = 16
 # serving path feeds anyway; the in-body cast is ~30 MB of VPU work per
 # 35 ms batch — noise.
 ITERS = 32
+# SWEEPS: each timed pass scans the SAME staged 32-batch stack this many
+# times inside one jitted call (an outer lax.scan around the inner one), so
+# the single readback RTT is amortized over SWEEPS x ITERS batches instead
+# of ITERS: at 4 sweeps (~2.0 s/pass) the RTT share drops ~5% -> ~1.3%.
+# Reusing the stack costs zero extra HBM and is measurement-honest: XLA
+# compiles the sweep as a loop and has no runtime memoization of loop-body
+# results, and the 32 inner batches remain distinct so nothing can
+# constant-fold at trace time.  The 966.8 img/s round-5 headline at
+# SWEEPS=1 sat exactly one 27 ms RTT below the ~1020 img/s device-only
+# ceiling measured by the independent DESIGN-13 harness.
+SWEEPS = int(os.environ.get("XDET_BENCH_SWEEPS", "4"))
 
 # Deadline defaults are sized to the tunnel's observed WORST day, not its
 # healthy one: on 2026-08-19 a trivial import+init+matmul probe took 93 s
@@ -156,7 +169,10 @@ def child_measure():
             s = (det.scores.sum() + det.boxes.sum() + det.valid.sum()
                  + det.classes.astype(jnp.float32).sum())
             return carry + s, s
-        total, per_batch = jax.lax.scan(body, 0.0, stacked)
+        def sweep(carry, _):
+            c, per_batch = jax.lax.scan(body, carry, stacked)
+            return c, per_batch
+        total, per_batch = jax.lax.scan(sweep, 0.0, None, length=SWEEPS)
         return total, per_batch
 
     # distinct pre-staged batches, stacked for the in-jit scan; staged as
@@ -186,7 +202,7 @@ def child_measure():
     # variable tunnel dispatch latency); median + full per-pass spread are
     # reported alongside so the artifact records the variance, not just the
     # flattering number.
-    per_pass = sorted(BATCH * ITERS / t for t in times)
+    per_pass = sorted(BATCH * ITERS * SWEEPS / t for t in times)
     imgs_per_sec = per_pass[-1]
     print(json.dumps({
         "metric": "detection_images_per_sec_per_chip",
